@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``real_big_data_project_spark`` package; this
+module only adapts it to the driver contract.
 """
 
 from __future__ import annotations
@@ -12,27 +14,38 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: daily OHLCV bars + Bollinger bands over the tick
+    feed (`events` plays the reference's `stocks` hypertable) — the
+    dashboard tab-1 chart query end-to-end (SURVEY.md §3.2)."""
+    from real_big_data_project_spark.operators.aggregates import ohlcv_daily
+    from real_big_data_project_spark.operators.windows import rolling_bollinger
+    from real_big_data_project_spark.sources.registry import events_with_volume
+
+    ticks = events_with_volume(spark, SF0001)
+    daily = ohlcv_daily(
+        ticks, key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="trade_date",
+    )
+    bands = rolling_bollinger(
+        daily, key="user_id", ts="trade_date", price="close",
+        window_size=5, num_std=2.0,
+    )
+    return bands.orderBy("user_id", "trade_date")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from real_big_data_project_spark.plans import queries_map
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from real_big_data_project_spark.plans import oracle_sql_map
+
+    return oracle_sql_map()

@@ -1,0 +1,49 @@
+"""Vector expressions over array<float|double> embedding columns.
+
+Built on higher-order functions (zip_with / aggregate / transform) — these
+run JVM-side with no Python round-trip, which is what makes brute-force
+similarity viable as a baseline at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(_c(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe on zero vectors (returns NULL)."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def sign_bucket(a: Column | str, dims: list[int]) -> Column:
+    """Deterministic LSH-ish bucket: concatenated sign bits of fixed
+    dimensions. Cheap, portable to SQL (the oracle reproduces it), and a
+    real candidate-pruning strategy for near-duplicate detection — recall
+    is bounded but deterministic."""
+    c = _c(a)
+    bits = [
+        F.when(F.element_at(c, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)

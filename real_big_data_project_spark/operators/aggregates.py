@@ -1,0 +1,96 @@
+"""Aggregation operators (SURVEY.md §2.6 A-series).
+
+The signature operator is the daily OHLCV rollup (A1/A2/A3,
+etl/etl.py:342-370 and dashboard/timescaledb_model.py:558-572). Spark's
+`first`/`last` aggregates are order-nondeterministic, so open/close use
+`min_by`/`max_by` on the event timestamp — deterministic, shuffle-friendly
+(partial aggregation on the map side), and available in DuckDB for the
+oracle. Ties on the timestamp are broken by a struct tiebreaker when a
+`tiebreak` column is supplied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ord(ts: str, tiebreak: str | None) -> Column:
+    return F.struct(ts, tiebreak) if tiebreak else F.col(ts)
+
+
+def ohlcv_daily(
+    ticks: DataFrame,
+    key: str = "cid",
+    ts: str = "date",
+    price: str = "value",
+    volume: str = "volume",
+    tiebreak: str | None = None,
+    day_alias: str = "day",
+) -> DataFrame:
+    """A1/A2/A3 — per (key, calendar day): open/high/low/close/volume/mean.
+
+    One hash-aggregate with map-side partial agg — a single shuffle on
+    (key, day). At 100 TB the input should be date-partitioned parquet so
+    the day grouping co-locates with partition pruning.
+    """
+    o = _ord(ts, tiebreak)
+    out = (
+        ticks
+        .groupBy(F.col(key), F.col(ts).cast("date").alias(day_alias))
+        .agg(
+            F.min_by(price, o).alias("open"),
+            F.max_by(price, o).alias("close"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.sum(volume).alias("volume"),
+        )
+        .withColumn(
+            "mean",
+            (F.col("open") + F.col("close") + F.col("high") + F.col("low")) / 4,
+        )
+    )
+    return out
+
+
+def group_count_by_month(df: DataFrame, ts: str) -> DataFrame:
+    """A9 — rows-per-month histogram (etl/etl.py:652-655)."""
+    return (
+        df.groupBy(F.date_format(F.col(ts), "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def table_counts(df: DataFrame, distinct_key: str) -> DataFrame:
+    """A4/A5 — COUNT(*) + COUNT(DISTINCT key) diagnostics
+    (etl/etl.py:870-873). At 100 TB prefer approx_count_distinct — exposed
+    as a third column so callers can choose."""
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(distinct_key).alias("n_keys"),
+        F.approx_count_distinct(distinct_key).alias("n_keys_approx"),
+    )
+
+
+def minmax_range(df: DataFrame, ts: str) -> DataFrame:
+    """A6/F8 — MIN/MAX of the time column, formatted
+    (dashboard/timescaledb_model.py:488-497)."""
+    return df.agg(
+        F.date_format(F.min(ts), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max(ts), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+def rowwise_mean_std(df: DataFrame, cols: list[str], keep: list[str]) -> DataFrame:
+    """A8 — per-row mean/std across a fixed column set
+    (dashboard/tabs/tab2.py:123-124). Pure arithmetic (sample std over n
+    values), no UDF."""
+    n = len(cols)
+    mean = sum(F.col(c) for c in cols) / n
+    var = sum((F.col(c) - F.col("_rw_mean")) * (F.col(c) - F.col("_rw_mean")) for c in cols) / (n - 1)
+    return (
+        df.withColumn("_rw_mean", mean)
+        .withColumn("row_std", F.sqrt(var))
+        .withColumnRenamed("_rw_mean", "row_mean")
+        .select(*keep, "row_mean", "row_std")
+    )

@@ -1,0 +1,770 @@
+"""Core operator queries (SURVEY.md §2 inventory → FIXTURES.md §B mapping).
+
+Each query binds an operator implementation from ``..operators`` /
+``..functions`` to the synthetic testdata and registers a DuckDB oracle.
+Reference citations live on the operator implementations; here we cite the
+operator ids (S/P/F/D/J/A/W/O/U/Q series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cleansing as C
+from ..operators import aggregates as A
+from ..operators import dedup as D
+from ..operators import joins as J
+from ..operators import windows as W
+from ..sources import registry as R
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(l_shipdate) AS n_shipdates
+    FROM lineitem
+    """,
+    description="S1 — full parquet scan + scalar aggregate sanity.",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("l_shipdate").alias("n_shipdates"),
+    )
+
+
+@register(
+    "q_partition_prune",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    description="S4/S5/F5/F6 — date-range pruning; the filter reaches the "
+                "parquet scan as PushedFilters (min/max row-group skipping; "
+                "on date-partitioned layouts, partition pruning).",
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / scalar cleansing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_rename",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+    FROM customer
+    """,
+    description="P1/P2 — projection + rename (etl/etl.py:231,:313).",
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@register(
+    "q_filter_positive",
+    oracle="""
+    SELECT event_id, user_id, value, (event_id % 1000) + 1 AS volume
+    FROM events
+    WHERE value > 0 AND (event_id % 1000) + 1 > 0
+    """,
+    description="P3 — keep value>0 AND volume>0 (etl/etl.py:196-197).",
+)
+def q_filter_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+    return ev.filter((F.col("value") > 0) & (F.col("volume") > 0)).select(
+        "event_id", "user_id", "value", "volume"
+    )
+
+
+@register(
+    "q_regex_clean",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_clean,
+           try_cast(regexp_replace(p_brand, '[^0-9]', '', 'g') AS BIGINT) AS brand_num,
+           try_cast(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(p_brand, '[^0-9]', '', 'g') || ',75 (c)',
+                     '\\([a-zA-Z ]*\\)', '', 'g'),
+                   '\\s+', '', 'g'),
+                 ',', '.', 'g'),
+               '[^0-9.\\-]', '', 'g')
+             AS DOUBLE) AS price_clean,
+           try_cast(p_type AS DOUBLE) AS type_num
+    FROM part
+    """,
+    description="P5/F1/F2 — regex scrub of locale-dirty numerics + "
+                "try_cast NULL-on-error (etl/etl.py:189-193,:529).",
+)
+def q_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = R.load_table(spark, sf_dir, "part")
+    dirty = F.concat(F.regexp_replace("p_brand", r"[^0-9]", ""), F.lit(",75 (c)"))
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_clean"),
+        F.regexp_replace("p_brand", "[^0-9]", "").try_cast("bigint").alias("brand_num"),
+        C.clean_price_string(dirty).alias("price_clean"),
+        F.col("p_type").try_cast("double").alias("type_num"),
+    )
+
+
+@register(
+    "q_case_when_clamp",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value - 50 < 0 THEN 0 ELSE value - 50 END AS clamped
+    FROM events
+    """,
+    description="P8 — conditional clamp, the UPDATE…WHERE<0 rewrite "
+                "(etl/etl.py:820).",
+)
+def q_case_when_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        C.clamp_nonnegative(F.col("value") - 50).alias("clamped"),
+    )
+
+
+@register(
+    "q_filter_outliers",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE NOT (value <= 0 OR value IS NULL OR value > 250)
+    """,
+    description="P9 — range-delete as a filter rewrite (etl/etl.py:817).",
+)
+def q_filter_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    bad = (F.col("value") <= 0) | F.col("value").isNull() | (F.col("value") > 250)
+    return ev.filter(~bad).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 scalar string/date functions
+# ---------------------------------------------------------------------------
+
+_PREFIX_BY_BUCKET = ["1rP", "1rA", "1u", "1g", "FF55-", "1z", "FF11_", "1b", ""]
+
+
+def _synth_symbol_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{p}' || c_name"
+        for i, p in enumerate(_PREFIX_BY_BUCKET)
+    )
+    return f"(CASE c_custkey % {len(_PREFIX_BY_BUCKET)} {cases} END)"
+
+
+@register(
+    "q_prefix_normalize",
+    oracle=f"""
+    WITH sym AS (SELECT c_custkey, {_synth_symbol_sql()} AS symbol FROM customer)
+    SELECT c_custkey, symbol,
+      CASE
+        WHEN symbol LIKE '1rP%'   THEN substr(symbol, 4)
+        WHEN symbol LIKE '1rA%'   THEN substr(symbol, 4)
+        WHEN symbol LIKE '1u%'    THEN substr(symbol, 3)
+        WHEN symbol LIKE '1g%'    THEN substr(symbol, 3)
+        WHEN symbol LIKE 'FF55-%' THEN substr(symbol, 6)
+        WHEN symbol LIKE '1z%'    THEN substr(symbol, 3)
+        WHEN symbol LIKE 'FF11!_%' ESCAPE '!' THEN substr(symbol, 6)
+        WHEN symbol LIKE '1b%'    THEN substr(symbol, 3)
+        ELSE symbol END AS norm_symbol,
+      CASE
+        WHEN symbol LIKE '1rP%'   THEN 6
+        WHEN symbol LIKE '1rA%'   THEN 5
+        WHEN symbol LIKE '1u%'    THEN 2
+        WHEN symbol LIKE '1g%'    THEN 3
+        WHEN symbol LIKE 'FF55-%' THEN 4
+        WHEN symbol LIKE '1z%'    THEN 7
+        WHEN symbol LIKE 'FF11!_%' ESCAPE '!' THEN 8
+        WHEN symbol LIKE '1b%'    THEN 8
+        ELSE 6 END AS mid
+    FROM sym
+    """,
+    description="F3 — Boursorama symbol-prefix normalization as a CASE "
+                "chain (etl/etl.py:55-101); replaces the 4M-call memo "
+                "cache with codegen'd expressions.",
+)
+def q_prefix_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    bucket = F.col("c_custkey") % len(_PREFIX_BY_BUCKET)
+    sym = None
+    for i, p in enumerate(_PREFIX_BY_BUCKET):
+        branch = F.concat(F.lit(p), F.col("c_name"))
+        sym = F.when(bucket == i, branch) if sym is None else sym.when(bucket == i, branch)
+    df = cust.select("c_custkey", sym.alias("symbol"))
+    return df.select(
+        "c_custkey",
+        "symbol",
+        C.normalized_symbol("symbol").alias("norm_symbol"),
+        C.market_id_from_symbol("symbol").alias("mid"),
+    )
+
+
+_NATION_BUCKETS = [("_1", 10), ("_2", 20), ("_0", 0)]
+
+
+@register(
+    "q_case_market_map",
+    oracle="""
+    SELECT n_nationkey, n_name,
+      CASE
+        WHEN contains(lower(n_name), '_1') THEN 10
+        WHEN contains(lower(n_name), '_2') THEN 20
+        WHEN contains(lower(n_name), '_0') THEN 0
+        ELSE 99 END AS bucket
+    FROM nation
+    """,
+    description="F4 — substring-containment classification with "
+                "first-match-wins precedence (etl/etl.py:546-564); the "
+                "row-wise .apply UDF becomes a native CASE chain.",
+)
+def q_case_market_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = R.load_table(spark, sf_dir, "nation")
+    c = F.lower(F.col("n_name"))
+    expr = None
+    for sub, bucket in _NATION_BUCKETS:
+        cond = c.contains(sub)
+        expr = F.when(cond, bucket) if expr is None else expr.when(cond, bucket)
+    return nation.select(
+        "n_nationkey", "n_name", expr.otherwise(F.lit(99)).cast("int").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 dedup / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_keys",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                ORDER BY l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    description="D1 — deterministic drop-duplicates-by-key "
+                "(etl/etl.py:231,:254): row_number over a total ordering, "
+                "not Spark's arbitrary dropDuplicates winner.",
+)
+def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return D.dedup_by_keys(li, ["l_orderkey", "l_partkey"], order=["l_linenumber"])
+
+
+@register(
+    "q_first_last_per_group",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, cast(ts AS DATE) AS trade_date, value,
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) = 1 AS is_first,
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) = 1 AS is_last
+      FROM events
+    )
+    SELECT * FROM flagged WHERE is_first OR is_last
+    """,
+    description="D3/W3 — first & last tick per (series, day) "
+                "(etl/etl.py:399-404).",
+)
+def q_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events").withColumn(
+        "trade_date", F.col("ts").cast("date")
+    )
+    flagged = W.first_last_per_group(
+        ev.select("event_id", "user_id", "trade_date", "value", "ts"),
+        keys=["user_id", "trade_date"],
+        ts="ts",
+        tiebreak="event_id",
+    )
+    return flagged.filter(F.col("is_first") | F.col("is_last")).select(
+        "event_id", "user_id", "trade_date", "value", "is_first", "is_last"
+    )
+
+
+@register(
+    "q_tick_compression",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             cast(ts AS DATE) AS d,
+             lag(value) OVER w AS prev,
+             lead(value) OVER w AS nxt,
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE) ORDER BY ts ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE) ORDER BY ts DESC) AS rn_d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id, ts, value
+    FROM t
+    WHERE abs(CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
+                   ELSE (value - prev) / abs(prev) END) > 0.001
+       OR rn_a = 1 OR rn_d = 1 OR prev IS NULL OR nxt IS NULL
+    """,
+    description="D4 — the reference's signature lossy tick compression "
+                "(etl/etl.py:372-413): keep >0.1% moves plus day/series "
+                "endpoints; preserves daily OHLC reconstructibility.",
+)
+def q_tick_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    out = D.tick_compression(ev, key="user_id", ts="ts", price="value")
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_broadcast_lookup",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           coalesce(n.n_name, 'UNKNOWN') AS nation_name,
+           coalesce(n.n_regionkey, -1) AS region_id
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+    description="J1/J2 — broadcast dim lookup with default-on-miss; the "
+                "reference's dict caches (etl/etl.py:118-133,:326-328) are "
+                "exactly broadcast hash joins.",
+)
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    nation = R.load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    dim = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey"),
+    )
+    out = J.broadcast_lookup(
+        cust,
+        dim,
+        on="c_nationkey",
+        take={"n_name": "nation_name", "n_regionkey": "region_id"},
+        defaults={"nation_name": "UNKNOWN", "region_id": -1},
+    )
+    return out.select(
+        "c_custkey", "c_name", "nation_name", F.col("region_id").cast("int").alias("region_id")
+    )
+
+
+@register(
+    "q_isin_resolve",
+    oracle="""
+    WITH existing AS (
+      SELECT c_nationkey AS nkey, min(c_custkey) AS id
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT e.id AS id, s.s_nationkey AS nkey, s.s_name AS name
+    FROM supplier s JOIN existing e ON s.s_nationkey = e.nkey
+    """,
+    description="J3 — identity resolution on a natural key "
+                "(ISIN flow, etl/etl.py:272-280): incoming rows adopt the "
+                "existing dimension id; fresh attributes win.",
+)
+def q_isin_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    supp = R.load_table(spark, sf_dir, "supplier")
+    existing = cust.groupBy(F.col("c_nationkey").alias("nkey")).agg(
+        F.min("c_custkey").alias("id")
+    )
+    incoming = supp.select(F.col("s_nationkey").alias("nkey"), F.col("s_name").alias("name"))
+    resolved = J.resolve_identity(
+        incoming, existing, natural_key="nkey", id_col="id", update_cols=["name"]
+    )
+    return resolved.select("id", "nkey", "name")
+
+
+@register(
+    "q_anti_join_new_keys",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    description="J4/J5 — new-key detection via left_anti "
+                "(etl/etl.py:282-290): customers with no orders.",
+)
+def q_anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    orders = R.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return J.anti_join_new_keys(cust, orders, on=["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_semi_join_orphans",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+    description="J6 — orphan removal (etl/etl.py:823) as the kept set "
+                "(left_semi).",
+)
+def q_semi_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    cust = R.load_table(spark, sf_dir, "customer")
+    return J.semi_join_keep_matched(
+        orders, cust, fact_key="o_custkey", dim_key="c_custkey"
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "q_join_distinct_orderby",
+    oracle="""
+    SELECT DISTINCT c.c_name AS name
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_name
+    """,
+    description="J7/D2/O2 — companies-with-data list "
+                "(dashboard/timescaledb_model.py:460-465).",
+)
+def q_join_distinct_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    orders = R.load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+@register(
+    "q_company_timeseries",
+    oracle="""
+    SELECT event_id, ts, value
+    FROM events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY ts
+    """,
+    description="J8 — scalar-lookup + range scan + order "
+                "(dashboard/timescaledb_model.py:506-547).",
+)
+def q_company_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"))
+        )
+        .select("event_id", "ts", "value")
+        .orderBy("ts")
+    )
+
+
+@register(
+    "q_surrogate_keys",
+    oracle="""
+    WITH existing AS (SELECT * FROM supplier WHERE s_suppkey < 50),
+         incoming AS (SELECT * FROM supplier WHERE s_suppkey >= 50),
+         base AS (SELECT coalesce(max(s_suppkey), 0) AS b FROM existing)
+    SELECT cast(base.b + row_number() OVER (ORDER BY i.s_name DESC) AS INT) AS new_id,
+           i.s_suppkey, i.s_name
+    FROM incoming i CROSS JOIN base
+    """,
+    description="A7 — dense deterministic surrogate keys: max(id) offset + "
+                "row_number over a stable ordering (etl/etl.py:292-299); "
+                "never monotonically_increasing_id.",
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = R.load_table(spark, sf_dir, "supplier")
+    existing = supp.filter(F.col("s_suppkey") < 50).select(
+        F.col("s_suppkey").alias("id")
+    )
+    incoming = supp.filter(F.col("s_suppkey") >= 50)
+    out = J.surrogate_keys(
+        incoming.select("s_suppkey", "s_name"),
+        existing,
+        id_col="id",
+        order=[F.col("s_name").desc()],
+    )
+    return out.select(F.col("id").alias("new_id"), "s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlcv_daily",
+    oracle="""
+    SELECT user_id, cast(ts AS DATE) AS trade_date,
+           min_by(value, ts) AS open,
+           max_by(value, ts) AS close,
+           max(value) AS high,
+           min(value) AS low,
+           cast(sum((event_id % 1000) + 1) AS BIGINT) AS volume,
+           (min_by(value, ts) + max_by(value, ts) + max(value) + min(value)) / 4 AS mean
+    FROM events
+    GROUP BY user_id, cast(ts AS DATE)
+    """,
+    description="A1/A2/A3/F7 — daily OHLCV bars (etl/etl.py:342-370): "
+                "min_by/max_by on the timestamp, never order-nondeterministic "
+                "first/last; one shuffle, map-side partial agg.",
+)
+def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+    out = A.ohlcv_daily(
+        ev, key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="trade_date",
+    )
+    return out.select(
+        "user_id", "trade_date", "open", "close", "high", "low",
+        F.col("volume").cast("bigint").alias("volume"), "mean",
+    )
+
+
+@register(
+    "q_counts",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+    FROM events
+    """,
+    description="A4/A5 — COUNT(*) + COUNT(DISTINCT) diagnostics "
+                "(etl/etl.py:870-873). The engine also exposes "
+                "approx_count_distinct for the 100 TB path.",
+)
+def q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
+@register(
+    "q_minmax_range",
+    oracle="""
+    SELECT strftime(min(ts), '%Y-%m-%d') AS min_date,
+           strftime(max(ts), '%Y-%m-%d') AS max_date
+    FROM events
+    """,
+    description="A6/F8 — MIN/MAX date formatted "
+                "(dashboard/timescaledb_model.py:488-497).",
+)
+def q_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return A.minmax_range(ev, ts="ts")
+
+
+@register(
+    "q_group_count",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    description="A9 — per-month histogram (etl/etl.py:652-655).",
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    return A.group_count_by_month(orders, ts="o_orderdate")
+
+
+@register(
+    "q_rowwise_stats",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity + l_extendedprice + l_discount + l_tax) / 4 AS row_mean,
+           sqrt((
+             (l_quantity - (l_quantity + l_extendedprice + l_discount + l_tax) / 4) * (l_quantity - (l_quantity + l_extendedprice + l_discount + l_tax) / 4)
+           + (l_extendedprice - (l_quantity + l_extendedprice + l_discount + l_tax) / 4) * (l_extendedprice - (l_quantity + l_extendedprice + l_discount + l_tax) / 4)
+           + (l_discount - (l_quantity + l_extendedprice + l_discount + l_tax) / 4) * (l_discount - (l_quantity + l_extendedprice + l_discount + l_tax) / 4)
+           + (l_tax - (l_quantity + l_extendedprice + l_discount + l_tax) / 4) * (l_tax - (l_quantity + l_extendedprice + l_discount + l_tax) / 4)
+           ) / 3) AS row_std
+    FROM lineitem
+    """,
+    description="A8 — per-row mean/std across a fixed column set "
+                "(dashboard/tabs/tab2.py:123-124); pure arithmetic, no UDF.",
+)
+def q_rowwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    return A.rowwise_mean_std(
+        li,
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        keep=["l_orderkey", "l_linenumber"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lag_pct_change",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           CASE WHEN lag(value) OVER w IS NULL OR lag(value) OVER w = 0
+                THEN 0.0
+                ELSE (value - lag(value) OVER w) / abs(lag(value) OVER w)
+           END AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    description="W1/F9 — lag + pct-change per series (etl/etl.py:382-390).",
+)
+def q_lag_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    out = W.lag_pct_change(ev, key="user_id", ts="ts", price="value")
+    return out.select("event_id", "user_id", "ts", "value", "prev_value", "pct_change")
+
+
+@register(
+    "q_rolling_bollinger",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             count(value) OVER w AS cnt,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           round(CASE WHEN cnt >= 20 THEN m END, 6) AS boll_mean,
+           round(CASE WHEN cnt >= 20 THEN s END, 6) AS boll_std,
+           round(CASE WHEN cnt >= 20 THEN m + 2 * s END, 6) AS boll_upper,
+           round(CASE WHEN cnt >= 20 THEN m - 2 * s END, 6) AS boll_lower
+    FROM t
+    """,
+    description="W2 — rolling Bollinger bands (dashboard/tabs/tab1.py:15-21) "
+                "with pandas NULL-until-full-window semantics via a count "
+                "guard; rounded on both sides (window-agg summation order "
+                "differs across engines).",
+)
+def q_rolling_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    out = W.rolling_bollinger(
+        ev, key="user_id", ts="ts", price="value", window_size=20, num_std=2.0
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.round("boll_mean", 6).alias("boll_mean"),
+        F.round("boll_std", 6).alias("boll_std"),
+        F.round("boll_upper", 6).alias("boll_upper"),
+        F.round("boll_lower", 6).alias("boll_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sort / limit / top-k, §2.9 set ops, §2.10 SQL surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    description="O3 + ordering — top-k, planned as TakeOrderedAndProject "
+                "(no global sort materialization).",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+    description="U1 — UNION ALL by aligned names (the reference's pd.concat "
+                "batch merge, etl/etl.py:349 etc.).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = R.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+_PASSTHROUGH_SQL = """
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus <> 'X'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "q_sql_passthrough",
+    oracle=_PASSTHROUGH_SQL,
+    description="Q1/S7 — the tab-3 arbitrary-SQL surface "
+                "(dashboard/tabs/tab3.py:35-100): the exact same SQL text is "
+                "executed by spark.sql over registered views and by the "
+                "oracle — Catalyst is the parser/optimizer/executor.",
+)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R.register_views(spark, sf_dir)
+    return spark.sql(_PASSTHROUGH_SQL)
