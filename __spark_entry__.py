@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     ticks = events_with_volume(spark, SF0001)
     daily = ohlcv_daily(
         ticks, key="user_id", ts="ts", price="value", volume="volume",
-        day_alias="trade_date",
+        day_alias="trade_date", tiebreak="event_id",
     )
     bands = rolling_bollinger(
         daily, key="user_id", ts="trade_date", price="close",

@@ -65,7 +65,7 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def simhash64_hexbits(col: Column | str) -> Column:
+def simhash32_bits(col: Column | str) -> Column:
     """SimHash-32 fingerprint as a string of 32 bits.
 
     Per token, md5 hex chars give 32 independent bits (the high bit of each

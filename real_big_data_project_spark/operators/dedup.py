@@ -37,6 +37,7 @@ def tick_compression(
     ts: str = "date",
     price: str = "value",
     min_change_pct: float = TICK_COMPRESSION_MIN_CHANGE,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """D4 — lossy tick compression preserving daily OHLC reconstructibility
     (etl/etl.py:372-413).
@@ -51,11 +52,18 @@ def tick_compression(
     (key, day ORDER BY ts) — Spark evaluates them in one shuffle on `key`
     because the day partition is a prefix-compatible refinement evaluated
     after the same sort.
+
+    `tiebreak` makes the ordering total when a series can carry duplicate
+    timestamps (the reference leans on pandas' stable mergesort instead,
+    etl/etl.py:382); without it, feeds with duplicate (key, ts) pairs are
+    nondeterministic.
     """
     day = F.col(ts).cast("date")
-    w = Window.partitionBy(key).orderBy(ts)
-    wd_asc = Window.partitionBy(key, day).orderBy(F.col(ts).asc())
-    wd_desc = Window.partitionBy(key, day).orderBy(F.col(ts).desc())
+    asc = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    desc = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*asc)
+    wd_asc = Window.partitionBy(key, day).orderBy(*asc)
+    wd_desc = Window.partitionBy(key, day).orderBy(*desc)
 
     prev = F.lag(price, 1).over(w)
     pct = pct_change(F.col(price), prev)

@@ -122,7 +122,9 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     if spec.oracle is None:
         df = spec.builder(spark, sf_dir)
         n = df.count()
-        return CompareResult(name, True, True, n >= 0, True, detail=f"rows-only: {n}")
+        # Match the driver's rows>0 smoke semantics: an oracle-less query
+        # that returns nothing is a failure, not a pass.
+        return CompareResult(name, True, True, n > 0, True, detail=f"rows-only: {n}")
     sdf = spec.builder(spark, sf_dir)
     odf = duckdb_oracle(spec.oracle, sf_dir)
     return compare(name, sdf, odf)

@@ -273,19 +273,23 @@ def q_case_market_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
              row_number() OVER (PARTITION BY l_orderkey, l_partkey
-                                ORDER BY l_linenumber) AS rn
+                                ORDER BY l_linenumber, l_quantity) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
     description="D1 — deterministic drop-duplicates-by-key "
                 "(etl/etl.py:231,:254): row_number over a total ordering, "
-                "not Spark's arbitrary dropDuplicates winner.",
+                "not Spark's arbitrary dropDuplicates winner. l_quantity is "
+                "a final tiebreak because the testdata has duplicate "
+                "(orderkey,partkey,linenumber) triples.",
 )
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = R.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
-    return D.dedup_by_keys(li, ["l_orderkey", "l_partkey"], order=["l_linenumber"])
+    return D.dedup_by_keys(
+        li, ["l_orderkey", "l_partkey"], order=["l_linenumber", "l_quantity"]
+    )
 
 
 @register(
@@ -327,10 +331,12 @@ def q_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(ts AS DATE) AS d,
              lag(value) OVER w AS prev,
              lead(value) OVER w AS nxt,
-             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE) ORDER BY ts ASC) AS rn_a,
-             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE) ORDER BY ts DESC) AS rn_d
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, ts, value
     FROM t
@@ -340,11 +346,14 @@ def q_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="D4 — the reference's signature lossy tick compression "
                 "(etl/etl.py:372-413): keep >0.1% moves plus day/series "
-                "endpoints; preserves daily OHLC reconstructibility.",
+                "endpoints; preserves daily OHLC reconstructibility. "
+                "event_id tiebreak makes the ordering total.",
 )
 def q_tick_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.load_table(spark, sf_dir, "events")
-    out = D.tick_compression(ev, key="user_id", ts="ts", price="value")
+    out = D.tick_compression(
+        ev, key="user_id", ts="ts", price="value", tiebreak="event_id"
+    )
     return out.select("event_id", "user_id", "ts", "value")
 
 
@@ -537,24 +546,26 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ohlcv_daily",
     oracle="""
     SELECT user_id, cast(ts AS DATE) AS trade_date,
-           min_by(value, ts) AS open,
-           max_by(value, ts) AS close,
+           first(value ORDER BY ts, event_id) AS open,
+           last(value ORDER BY ts, event_id) AS close,
            max(value) AS high,
            min(value) AS low,
            cast(sum((event_id % 1000) + 1) AS BIGINT) AS volume,
-           (min_by(value, ts) + max_by(value, ts) + max(value) + min(value)) / 4 AS mean
+           (first(value ORDER BY ts, event_id) + last(value ORDER BY ts, event_id)
+            + max(value) + min(value)) / 4 AS mean
     FROM events
     GROUP BY user_id, cast(ts AS DATE)
     """,
     description="A1/A2/A3/F7 — daily OHLCV bars (etl/etl.py:342-370): "
-                "min_by/max_by on the timestamp, never order-nondeterministic "
-                "first/last; one shuffle, map-side partial agg.",
+                "min_by/max_by on (timestamp, tiebreak), never "
+                "order-nondeterministic first/last; one shuffle, map-side "
+                "partial agg. Oracle uses DuckDB ordered aggregates.",
 )
 def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.events_with_volume(spark, sf_dir)
     out = A.ohlcv_daily(
         ev, key="user_id", ts="ts", price="value", volume="volume",
-        day_alias="trade_date",
+        day_alias="trade_date", tiebreak="event_id",
     )
     return out.select(
         "user_id", "trade_date", "open", "close", "high", "low",
