@@ -1,0 +1,93 @@
+"""Corpus construction + per-document text analysis.
+
+The synthetic `documents` table has no duplicates (every fingerprint is
+unique at every scale factor), so the dedup-family operators would all be
+exercised on empty outputs. `with_near_duplicates` deterministically plants
+duplicates — exact copies and tail-truncated near-copies — so exact dedup,
+MinHash/LSH, SimHash, and n-gram Jaccard all have non-trivial, oracle-
+checkable results. The same construction is mirrored in SQL for DuckDB
+(see plans/queries_datapipe.py::SQL_WITH_DUPS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import normalized_tokens
+
+DUP_ID_OFFSET = 100_000
+TRUNCATE_TAIL_TOKENS = 3
+
+
+def with_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents ∪ planted duplicates → (doc_id, text).
+
+    Planting rule (deterministic, id-keyed):
+      * doc_id % 3 == 0 → exact copy (normalized text) at doc_id+OFFSET
+      * doc_id % 3 == 1 → near copy: last TRUNCATE_TAIL_TOKENS tokens
+        dropped, at doc_id+OFFSET
+      * doc_id % 3 == 2 → no copy
+
+    Copies carry *normalized* text (lowercase, single-space); every dedup
+    operator normalizes before hashing, so exact copies collide exactly and
+    truncated copies are high-Jaccard near-duplicates.
+    """
+    toks = normalized_tokens(text_col)
+    n = F.size(toks)
+    exact = F.array_join(toks, " ")
+    trunc = F.array_join(
+        F.slice(toks, F.lit(1), F.greatest(n - TRUNCATE_TAIL_TOKENS, F.lit(1))), " "
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    copies = (
+        docs.filter(F.col(id_col) % 3 != 2)
+        .select(
+            (F.col(id_col) + DUP_ID_OFFSET).alias("doc_id"),
+            F.when(F.col(id_col) % 3 == 0, exact).otherwise(trunc).alias("text"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
+# The shape of GPT-2-style pretokenization, portable to RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document analysis row: token counts (whitespace + BPE-ish),
+    char count, punctuation ratio, mean token length, stopword ratio, and
+    the composite quality score. All JVM-side Column expressions — this is
+    the map-only, shuffle-free pass that precedes any corpus filter at
+    scale."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        T.char_count(text_col).alias("n_chars"),
+        T.punct_ratio(text_col).alias("punct_ratio"),
+        T.mean_token_length(text_col).alias("mean_token_len"),
+        T.stopword_ratio(text_col).alias("stopword_ratio"),
+        T.quality_score(text_col).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic (marker n-gram argmax) next to the labeled
+    `lang` column, so accuracy is measurable downstream."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("lang_label"),
+        T.lang_guess(text_col).alias("lang_guess"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set, nested-loop against the corpus — a map-only pass plus one tiny
+per-query top-k shuffle, which scales linearly in corpus size on any
+number of executors. The sign-LSH bucketed variant is the sublinear path:
+one shuffle on the bucket key, each query probes only its own cell.
+
+All vector math is higher-order functions on doubles (functions/vectors.py)
+— JVM-side, no Python. Similarities are rounded before thresholding /
+ranking so the DuckDB oracle (different summation internals) agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, sign_bucket
+
+SIM_ROUND = 5  # absorb cross-engine float-summation jitter
+PERTURB_EPS = 0.01
+PERTURB_ID_OFFSET = 100_000
+DEFAULT_BUCKET_DIMS = list(range(8))
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def ann_brute_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+
+    The query side is broadcast (it is a handful of rows); the corpus side
+    streams through a BroadcastNestedLoopJoin — no corpus shuffle. Ranking
+    is total: (rounded sim DESC, neighbor_id ASC).
+    """
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    scored = (
+        vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ann_bucket_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bucket_dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucketed ANN: vectors hash to a 2^|dims| cell by the sign
+    pattern of fixed dimensions; each query probes only its own cell.
+    Sublinear work per query; bounded (deterministic) recall — the scale
+    path when brute force stops being free."""
+    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    vecs = emb.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+    ).withColumn("bucket", sign_bucket("v", dims))
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    scored = (
+        vecs.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def with_perturbed_copies(
+    emb: DataFrame,
+    eps: float = PERTURB_EPS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """embeddings ∪ planted near-duplicates: every even vec_id gets a copy
+    at vec_id+OFFSET perturbed as x → x + eps·|x| (cosine ≈ 1 − O(eps²)).
+    The perturbation preserves every component's SIGN, so the sign-LSH
+    blocking below provably co-buckets each copy with its original — an
+    additive x+eps would flip bits on small components and silently drop
+    ~25% of the planted pairs. The synthetic corpus has no natural
+    near-dup pairs (max cosine ≈ 0.51), so detection needs planted
+    positives — mirrored exactly in the oracle."""
+    base = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    copies = base.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + PERTURB_ID_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x + eps * F.abs(x)).alias("v"),
+    )
+    return base.unionByName(copies)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bucket_dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH blocked:
+    (vec_a < vec_b, sim ≥ threshold), candidates limited to vectors whose
+    sign buckets match (a true near-duplicate at cosine ≥ 0.9 almost
+    surely agrees on every sign; the sign-preserving planted perturbation
+    provably does). One shuffle on the bucket key."""
+    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col).withColumn(
+        "bucket", sign_bucket("v", dims)
+    )
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("bucket").alias("ba"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("bucket").alias("bb"))
+    sim = F.round(cosine("va", "vb"), SIM_ROUND)
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

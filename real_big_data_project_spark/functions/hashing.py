@@ -40,16 +40,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _salted_min(shingles: Column, salt: int) -> Column:
+    # NB: the lambda must take exactly one arg — PySpark infers higher-order
+    # -function arity from the lambda signature, so a `i=salt` default arg
+    # would silently rebind to transform's (value, index) form.
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{salt}:"), s)))
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """array<string> of length `num_hashes`: per salt, the lexicographic
     min of md5(salt || ':' || shingle)."""
-    sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return F.array(*[_salted_min(shingles, i) for i in range(num_hashes)])
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -74,19 +77,24 @@ def simhash32_bits(col: Column | str) -> Column:
     md5/substr/instr calls.
     """
     toks = normalized_tokens(col)
-    bit_cols = []
-    for pos in range(1, 33):
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t, p=pos: acc
-            + F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.md5(t), p, 1)) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        bit_cols.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bit_cols = [
+        F.when(_bit_vote(toks, pos) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for pos in range(1, 33)
+    ]
     return F.concat(*bit_cols)
+
+
+def _bit_vote(toks: Column, pos: int) -> Column:
+    # Closure factory (not a default arg) — see _salted_min's arity note.
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            F.instr(F.lit("89abcdef"), F.substring(F.md5(t), pos, 1)) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
 
 
 def hamming_distance_bits(a: Column, b: Column) -> Column:

@@ -64,4 +64,5 @@ def _load_all() -> None:
     if not _loaded:
         from . import queries_core  # noqa: F401
         from . import queries_datapipe  # noqa: F401
+        from . import queries_streaming  # noqa: F401
         _loaded = True

@@ -1,4 +1,563 @@
-"""Training-data pipeline queries (dedup families, similarity search, text
-analysis, multimodal plumbing) — filled in as ``..datapipe`` lands."""
+"""Training-data pipeline queries: dedup families, similarity search, text
+analysis — each bound to the synthetic `documents` / `embeddings` tables
+with a DuckDB oracle that reproduces the exact same md5-based hashing and
+integer-ratio arithmetic (functions/hashing.py design note).
+
+The corpus has no natural duplicates, so the dedup queries operate on
+`documents ∪ planted copies` (datapipe/corpus.py::with_near_duplicates),
+constructed identically in the oracle SQL (SQL_CORPUS below). Similarities
+are rounded to 5 dp on both sides before thresholding/ranking because the
+two engines sum floats in different orders.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe import corpus as CP
+from ..datapipe import dedup_text as DT
+from ..datapipe import similarity as SIM
+from ..sources import registry as R
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect, mirroring the Spark exprs)
+# ---------------------------------------------------------------------------
+
+# normalized whitespace tokens of `text` (functions/hashing.py::normalized_tokens)
+SQL_TOKS = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+# documents ∪ planted duplicates (datapipe/corpus.py::with_near_duplicates)
+SQL_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CP.DUP_ID_OFFSET} AS doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN array_to_string(toks, ' ')
+              ELSE array_to_string(
+                     list_slice(toks, 1, greatest(len(toks) - {CP.TRUNCATE_TAIL_TOKENS}, 1)),
+                     ' ')
+         END AS text
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+  WHERE doc_id % 3 != 2
+)
+"""
+
+# distinct 3-word shingles per corpus doc (functions/hashing.py::word_shingles)
+SQL_SHINGLES = f"""
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus)
+)
+"""
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+_ROWS = MINHASH_HASHES // MINHASH_BANDS
+
+
+def _sql_minhash_bands() -> str:
+    """Per-doc LSH band keys: min salted md5 per salt, 4 bands of 4."""
+    mins = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS m{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    bands = ", ".join(
+        "'b{b}:' || md5({cat})".format(
+            b=b,
+            cat=" || '|' || ".join(f"m{i}" for i in range(b * _ROWS, (b + 1) * _ROWS)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled
+),
+bands AS (
+  SELECT doc_id, unnest(list_value({bands})) AS band FROM sigs
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _sql_simhash_sig() -> str:
+    """32-bit SimHash per corpus doc (functions/hashing.py::simhash32_bits)."""
+    bits = " || ".join(
+        "(CASE WHEN list_sum(list_transform(toks, t -> "
+        f"CASE WHEN strpos('89abcdef', substr(md5(t), {p}, 1)) > 0 "
+        "THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(1, 33)
+    )
+    return f"""
+sims AS (
+  SELECT doc_id, {bits} AS sig
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus)
+)
+"""
+
+
+# embeddings as double vectors + planted near-duplicate copies
+# (datapipe/similarity.py::with_perturbed_copies)
+SQL_VECS = """
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+"""
+SQL_PVECS = f"""
+pvecs AS (
+  SELECT vec_id, v FROM vecs
+  UNION ALL
+  SELECT vec_id + {SIM.PERTURB_ID_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {SIM.PERTURB_EPS} * abs(x)) AS v
+  FROM vecs WHERE vec_id % 2 = 0
+)
+"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """Guarded cosine of two double-list columns (functions/vectors.py)."""
+    dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return (
+        f"(CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} / ({na} * {nb}) END)"
+    )
+
+
+def _sql_sign_bucket(v: str, ndims: int = 8) -> str:
+    return " || ".join(
+        f"(CASE WHEN {v}[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(ndims)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle=rf"""
+    SELECT doc_id,
+      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '{CP.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / length(text) END AS punct_ratio,
+      CASE WHEN length(trim(text)) = 0 THEN 0.0
+           ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\s+')) END AS mean_token_len,
+      CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 0 THEN 0.0
+           ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                / len(string_split_regex(lower(trim(text)), '\s+')) END AS stopword_ratio,
+      (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+            AND length(trim(text)) != 0 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN length(trim(text)) != 0
+              AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+              THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+              AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                  / len(string_split_regex(lower(trim(text)), '\s+')) >= 0.01
+              THEN 0.3 ELSE 0.0 END) AS quality
+    FROM documents
+    """,
+    description="Text analysis: whitespace + BPE-ish token counts, char "
+                "count, punctuation/stopword ratios, mean token length, "
+                "composite quality score. Map-only, expression-only — the "
+                "corpus-filter pass of a training-data pipeline.",
+    tags=("datapipe",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return CP.text_stats(docs)
+
+
+def _sql_lang_scores() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    terms = {}
+    for lang, markers in LANG_MARKERS.items():
+        parts = [
+            f"(CAST(length(c) - length(replace(c, '{m}', '')) AS DOUBLE) / {len(m)})"
+            for m in markers
+        ]
+        terms[lang] = " + ".join(parts)
+    return ", ".join(f"{expr} AS s_{lang}" for lang, expr in sorted(terms.items()))
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label, {_sql_lang_scores()}
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS c FROM documents)
+    )
+    SELECT doc_id, lang_label,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           ELSE 'de' END AS lang_guess
+    FROM scored
+    """,
+    description="Language-ID heuristic: marker-n-gram hit counts, argmax "
+                "with deterministic tie-break (largest language code), "
+                "'und' when nothing fires. Next to the labeled lang column.",
+    tags=("datapipe",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return CP.lang_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup families (over corpus = documents ∪ planted duplicates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corpus
+    )
+    SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+    FROM fps GROUP BY fp
+    """,
+    description="Exact dedup via md5 content fingerprint: one hash-agg, "
+                "deterministic smallest-id keeper. Planted exact copies "
+                "collapse to n_docs=2 groups.",
+    tags=("datapipe",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.exact_dedup_groups(CP.with_near_duplicates(docs))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=rf"""
+    WITH norms AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, norm,
+             list_sort(list_distinct(list_filter(
+               list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                              i -> substr(norm, i, 8)),
+               g -> substr(md5(g), 1, 1) = '0'))) AS grams
+      FROM norms
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(coalesce(array_to_string(grams, '|'), '')) AS winnow_fp,
+           CAST(len(grams) AS BIGINT) AS n_sampled_grams
+    FROM sampled
+    """,
+    description="Winnowing-style rolling-hash fingerprint: md5 of every "
+                "8-char gram, deterministic 1/16 sample (hash prefix '0'), "
+                "fingerprint of the sorted sample — MOSS-shaped, robust to "
+                "small edits; plus the exact content fingerprint.",
+    tags=("datapipe",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.winnow_fingerprints(docs)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()}
+    SELECT doc_a, doc_b, n_bands FROM cand
+    """,
+    description="MinHash+LSH near-dup candidates: 3-word shingles → 16 "
+                "salted-md5 minhashes → 4 bands × 4 rows → band-key "
+                "self-join. One shuffle on the band key; finds the planted "
+                "near-copies (Jaccard ≈ 0.9 ⇒ collide w.p. ≈ 1).",
+    tags=("datapipe",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.minhash_lsh_candidates(
+        CP.with_near_duplicates(docs),
+        n_shingle=3, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()}
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    """,
+    description="Exact n-gram Jaccard verification over the LSH candidate "
+                "pairs (never O(n²)): integer-ratio arithmetic, "
+                "bit-identical across engines. threshold 0.6.",
+    tags=("datapipe",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    corpus = CP.with_near_duplicates(docs)
+    cand = DT.minhash_lsh_candidates(
+        corpus, n_shingle=3, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS
+    )
+    return DT.ngram_jaccard_pairs(corpus, cand, n_shingle=3, threshold=0.6)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    {_sql_simhash_sig()},
+    bands AS (
+      SELECT doc_id, sig,
+             unnest(list_value(
+               'b0:' || substr(sig, 1, 8), 'b1:' || substr(sig, 9, 8),
+               'b2:' || substr(sig, 17, 8), 'b3:' || substr(sig, 25, 8))) AS band
+      FROM sims
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, 33),
+             p -> CASE WHEN substr(sig_a, p, 1) <> substr(sig_b, p, 1)
+                       THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM pairs
+    WHERE list_sum(list_transform(range(1, 33),
+            p -> CASE WHEN substr(sig_a, p, 1) <> substr(sig_b, p, 1)
+                      THEN 1 ELSE 0 END)) <= 3
+    """,
+    description="SimHash near-dup pairs: 32-bit md5-vote fingerprint, "
+                "blocked on 4 bands of 8 bits (pigeonhole: hamming ≤ 3 ⇒ "
+                "≥1 shared band ⇒ zero recall loss), Hamming-verified.",
+    tags=("datapipe",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.simhash_near_pairs(CP.with_near_duplicates(docs), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+_IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+
+@register(
+    "q_ann_topk",
+    oracle=f"""
+    WITH {SQL_VECS},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id IN ({_IDS_SQL})),
+    scored AS (
+      SELECT q.query_id, vecs.vec_id AS neighbor_id,
+             round({_sql_cosine('q.qv', 'vecs.v')}, 5) AS sim
+      FROM vecs CROSS JOIN q
+      WHERE vecs.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM ranked WHERE rank <= 10
+    """,
+    description="Brute-force exact cosine top-k ANN baseline: broadcast "
+                "query set × corpus (BroadcastNestedLoopJoin, no corpus "
+                "shuffle), rounded sim + id tiebreak for a total ranking.",
+    tags=("datapipe",),
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_brute_topk(emb, ANN_QUERY_IDS, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )
+
+
+@register(
+    "q_ann_bucket",
+    oracle=f"""
+    WITH {SQL_VECS},
+    bv AS (SELECT vec_id, v, {_sql_sign_bucket('v')} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+          FROM bv WHERE vec_id IN ({_IDS_SQL})),
+    scored AS (
+      SELECT q.query_id, bv.vec_id AS neighbor_id,
+             round({_sql_cosine('q.qv', 'bv.v')}, 5) AS sim
+      FROM bv JOIN q ON bv.bucket = q.qbucket AND bv.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM ranked WHERE rank <= 5
+    """,
+    description="Sign-LSH bucketed ANN (the sublinear scale path): 8 sign "
+                "bits → 256 cells, each query probes only its own cell; "
+                "bounded deterministic recall.",
+    tags=("datapipe",),
+)
+def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_bucket_topk(emb, ANN_QUERY_IDS, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (datapipe/multimodal.py)
+# ---------------------------------------------------------------------------
+
+SQL_ASSETS = """
+assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_md5,
+         text
+  FROM documents
+)
+"""
+
+
+@register(
+    "q_multimodal_meta",
+    oracle=f"""
+    WITH {SQL_ASSETS}
+    SELECT asset_id, modality, n_bytes, content_md5 FROM assets
+    """,
+    description="Multimodal asset metadata: opaque binary payload + typed "
+                "metadata (modality, byte length, checksum) computed "
+                "JVM-side. The payload column itself is never interpreted "
+                "by the engine — only by the mapInPandas decode stage.",
+    tags=("datapipe", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe import multimodal as MM
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return MM.synthetic_assets(docs).select(
+        "asset_id", "modality", "n_bytes", "content_md5"
+    )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH {SQL_ASSETS}
+    SELECT asset_id,
+           CAST(unnest(range(0, greatest(CAST(floor(n_bytes / 64.0) AS INT), 1))) AS INT)
+             AS frame_idx,
+           CAST(unnest(range(0, greatest(CAST(floor(n_bytes / 64.0) AS INT), 1))) * 64 AS INT)
+             AS byte_offset,
+           n_bytes
+    FROM assets WHERE modality = 'video'
+    """,
+    description="Video frame-sampling plumbing: one asset row explodes to "
+                "k sampled-frame rows (codec index stubbed as byte "
+                "strides); stays distributed through the explode.",
+    tags=("datapipe", "multimodal"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe import multimodal as MM
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    out = MM.frame_sample(MM.synthetic_assets(docs), every_n_bytes=64)
+    return out.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+        "n_bytes",
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # mapInPandas decode — genuinely non-SQL; rows-only check
+    description="decode→resize→feature-extract over binary payloads via "
+                "Arrow-batched mapInPandas (the engine's only Python hot "
+                "path); decoder is a deterministic stub (no codecs in this "
+                "container), the Spark plumbing is real. Rows-only gate; "
+                "determinism is pinned by tests/test_datapipe.py.",
+    tags=("datapipe", "multimodal"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe import multimodal as MM
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.synthetic_assets(docs))
+    return feats.select(
+        "asset_id", "modality", "width", "height",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH {SQL_VECS},
+    {SQL_PVECS},
+    bv AS (SELECT vec_id, v, {_sql_sign_bucket('v')} AS bucket FROM pvecs),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_sql_cosine('a.v', 'b.v')}, 5) AS sim
+      FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.9
+    """,
+    description="Embedding-cosine near-duplicate pairs, sign-LSH blocked: "
+                "planted eps-perturbed copies (natural max cosine ≈ 0.51) "
+                "are found at sim ≥ 0.9 with one bucket-key shuffle.",
+    tags=("datapipe",),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_duplicates(emb, threshold=0.9)
