@@ -63,6 +63,43 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
 
 
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="S2 — explicit-schema TSV scan with DROPMALFORMED "
+                "(pd.read_csv on_bad_lines='skip', etl/etl.py:507-509): "
+                "the input is a TSV roundtrip of `nation` with planted "
+                "malformed lines the reader must skip.",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.csv_source import ensure_nation_tsv, read_nation_tsv
+
+    path = ensure_nation_tsv(spark, sf_dir)
+    return read_nation_tsv(spark, path)
+
+
+@register(
+    "q_scan_pickle",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           'region' || CAST(n_regionkey AS VARCHAR) AS src_alias,
+           TIMESTAMP '2024-01-01 09:30:00' + INTERVAL (n_regionkey) DAY AS src_ts
+    FROM nation
+    """,
+    description="S1/S5/F6 — the reference's signature feed: bz2-pickled "
+                "pandas snapshots read via binaryFile + mapInPandas "
+                "(etl/etl.py:161-170), filename alias/timestamp injected "
+                "with the '_'→':' repair (etl/etl.py:139-159).",
+)
+def q_scan_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pickle_source import ensure_snapshot_fixture, read_snapshots
+
+    path = ensure_snapshot_fixture(sf_dir)
+    return read_snapshots(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / scalar cleansing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,71 @@
+"""CSV/TSV source with skip-bad-lines semantics (SURVEY.md §2.1 S2).
+
+The reference reads Euronext daily TSVs with
+``pd.read_csv(sep='\\t', on_bad_lines='skip')`` (etl/etl.py:507-509); the
+Spark restatement is an explicit-schema csv scan with
+``mode=DROPMALFORMED``. Schema-on-read with declared types — never
+inference — per the engine's type discipline (SURVEY.md §1.2).
+
+For the driver queries the TSV input is materialized once from the
+parquet testdata (int/string columns only — lossless roundtrip) under the
+repo-local ``_artifacts`` cache, with deliberately malformed lines
+appended to prove the DROPMALFORMED path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "_artifacts")
+
+NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.LongType(), True),
+    T.StructField("n_name", T.StringType(), True),
+    T.StructField("n_regionkey", T.LongType(), True),
+])
+
+MALFORMED_LINES = (
+    "this line has no tabs at all\n"
+    "not_an_int\tX\talso_not_an_int\n"
+)
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ARTIFACTS, f"nation_tsv_{tag}")
+
+
+def ensure_nation_tsv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize nation as a TSV directory (once per sf), then append a
+    file of malformed lines the reader must skip."""
+    out = _fixture_dir(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        (
+            nation.coalesce(1)
+            .write.option("sep", "\t")
+            .option("header", True)
+            .mode("overwrite")
+            .csv(out)
+        )
+        # first line of every file is consumed as a header, so lead with one
+        with open(os.path.join(out, "zz_malformed.csv"), "w") as fh:
+            fh.write("h1\th2\th3\n")
+            fh.write(MALFORMED_LINES)
+    return out
+
+
+def read_nation_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — explicit-schema TSV scan, malformed rows dropped (the
+    pd.read_csv(on_bad_lines='skip') contract)."""
+    return (
+        spark.read.schema(NATION_SCHEMA)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
