@@ -19,12 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    lsh_bands,
-    minhash_signature,
-    simhash32_bits,
-    word_shingles,
-)
+from ..functions.hashing import normalized_tokens, word_shingles
 from ..functions.text import fingerprint
 
 SIMHASH_BITS = 32
@@ -54,29 +49,72 @@ def shingle_sets(docs: DataFrame, n: int, id_col: str = "doc_id",
     )
 
 
+MINHASH_SALTS = ("a", "b")      # one md5 per salt per shingle
+SLICES_PER_MD5 = 4              # 4 disjoint 8-hex-char slices per md5
+MINHASH_BANDS_N = 4
+MINHASH_ROWS = 2                # 4 bands × 2 rows over the 8 components
+
+
+def minhash_components(docs: DataFrame, n_shingle: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature as 8 columns m0..m7.
+
+    Shape matters more than hash count at scale: shingles are EXPLODED and
+    the per-salt minima come from one codegen'd hash aggregate (map-side
+    partial min), instead of interpreted higher-order-function folds — HOF
+    lambdas are evaluated row-at-a-time outside whole-stage codegen and
+    were the bottleneck at sf0.1. Hash count is economized the standard
+    way: each md5 yields 4 independent 32-bit components (disjoint
+    8-hex-char slices), so 8 components cost 2 md5 calls per shingle.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{salt}:"), F.col("s"))).alias(f"_h{i}")
+          for i, salt in enumerate(MINHASH_SALTS)],
+    )
+    aggs = []
+    for i in range(len(MINHASH_SALTS)):
+        for k in range(SLICES_PER_MD5):
+            comp = i * SLICES_PER_MD5 + k
+            aggs.append(
+                F.min(F.substring(f"_h{i}", k * 8 + 1, 8)).alias(f"m{comp}")
+            )
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band) rows: band key = band index + md5 of its 2 components."""
+    bands = [
+        F.concat(
+            F.lit(f"b{b}:"),
+            F.md5(F.concat_ws("|", *[F.col(f"m{b * MINHASH_ROWS + r}")
+                                     for r in range(MINHASH_ROWS)])),
+        )
+        for b in range(MINHASH_BANDS_N)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     n_shingle: int = 3,
-    num_hashes: int = 16,
-    num_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash + LSH banding: (doc_a < doc_b, n_bands) candidate pairs.
 
-    shingle → minhash signature (map-only) → explode band keys →
-    self-equi-join on the band key (the ONE shuffle) → count shared bands.
-    With 4 bands × 4 rows, docs with Jaccard j collide w.p. 1-(1-j⁴)⁴ —
-    ≈1 for the planted near-dups (j ≈ 0.9), ≈0 for unrelated docs.
+    shingle-explode → codegen'd min aggregate (one shuffle on doc_id) →
+    band keys → self-equi-join on the band key (one shuffle on band) →
+    count shared bands. With 4 bands × 2 rows, docs with Jaccard j collide
+    w.p. 1-(1-j²)⁴ — ≈1 for the planted near-dups (j ≈ 0.9), ≈0 for
+    unrelated 3-gram shingle sets.
     """
-    rows_per_band = num_hashes // num_bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(word_shingles(text_col, n_shingle), num_hashes).alias("sig"),
-    )
-    bands = sig.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("band")
-    )
+    bands = minhash_band_keys(minhash_components(docs, n_shingle, id_col, text_col))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -118,6 +156,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc 32-bit SimHash as (doc_id, sig: '0'/'1'×32, sig_int: long).
+
+    Same fingerprint definition as functions/hashing.py::simhash32_bits
+    (bit p = sign of the ±1 vote over tokens of the high bit of md5 hex
+    nibble p), but computed in the shape that scales: tokens EXPLODED, one
+    md5 per token, the per-nibble high bits pulled out of four 32-bit
+    integer chunks with shifts, and all 32 vote counts produced by ONE
+    codegen'd hash aggregate. The HOF-fold formulation recomputed md5 per
+    bit position and ran interpreted — ~100× slower at sf0.1.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(normalized_tokens(text_col)).alias("t"),
+    ).select("doc_id", F.md5("t").alias("m"))
+    chunks = toks.select(
+        "doc_id",
+        *[F.conv(F.substring("m", k * 8 + 1, 8), 16, 10).cast("long").alias(f"_h{k}")
+          for k in range(4)],
+    )
+    count_cols = []
+    for p in range(1, SIMHASH_BITS + 1):
+        k, j = (p - 1) // 8, (p - 1) % 8
+        shift = (7 - j) * 4 + 3  # high bit of the j-th hex nibble in chunk k
+        bit = F.shiftright(F.col(f"_h{k}"), shift).bitwiseAND(F.lit(1))
+        count_cols.append(F.sum(bit).alias(f"c{p}"))
+    votes = chunks.groupBy("doc_id").agg(F.count("*").alias("n"), *count_cols)
+    # vote_p >= 0  ⇔  2·ones_p >= n_tokens
+    bits = [
+        F.when(2 * F.col(f"c{p}") >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
+        for p in range(1, SIMHASH_BITS + 1)
+    ]
+    sig = F.concat(*[b.cast("string") for b in bits])
+    sig_int = sum(
+        (b * F.lit(1 << (SIMHASH_BITS - p))).cast("long")
+        for p, b in enumerate(bits, start=1)
+    )
+    return votes.select("doc_id", sig.alias("sig"), sig_int.alias("sig_int"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -129,16 +208,16 @@ def simhash_near_pairs(
     32-bit fingerprint, blocked on 4 bands of 8 bits: any pair within
     Hamming distance 3 shares at least one exact band (pigeonhole), so the
     band join finds ALL qualifying pairs — no recall loss, one shuffle.
+    Hamming is bit_count(xor) on the integer form — codegen'd bit ops in
+    the join, never an interpreted per-character fold.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), simhash32_bits(text_col).alias("sig")
-    )
+    sig = simhash_signatures(docs, id_col, text_col)
     band_keys = F.array(*[
         F.concat(F.lit(f"b{i}:"), F.substring("sig", i * width + 1, width))
         for i in range(SIMHASH_BANDS)
     ])
-    bands = sig.select("doc_id", "sig", F.explode(band_keys).alias("band"))
+    bands = sig.select("doc_id", "sig_int", F.explode(band_keys).alias("band"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -146,22 +225,14 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a.sig_int").alias("int_a"),
+            F.col("b.sig_int").alias("int_b"),
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-        F.lit(0),
-        lambda acc, i: acc + F.when(
-            F.substring(F.col("sig_a"), i, F.lit(1))
-            != F.substring(F.col("sig_b"), i, F.lit(1)),
-            1,
-        ).otherwise(0),
-    )
+    ham = F.bit_count(F.col("int_a").bitwiseXOR(F.col("int_b")))
     return (
-        pairs.withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -176,19 +247,36 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     md5 every 8-char gram of the normalized text, keep grams whose hash
     starts with '0' (deterministic 1/16 sample of the rolling windows),
     and fingerprint the sorted sample. Robust to small edits away from the
-    sampled grams — the shape of MOSS/winnowing, expression-only."""
+    sampled grams — the shape of MOSS/winnowing.
+
+    Grams are EXPLODED so the per-gram md5 + sample predicate run inside
+    whole-stage codegen; the doc fingerprint reassembles in one hash
+    aggregate (collect_list skips the unsampled NULLs, array_sort makes
+    the order canonical). A HOF `filter(…, md5 …)` formulation evaluates
+    interpreted and was ~10× slower."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_grams = F.greatest(F.length(norm) - (WINNOW_GRAM_CHARS - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.substring(norm, i, F.lit(WINNOW_GRAM_CHARS)),
-    )
-    sampled = F.array_sort(F.array_distinct(
-        F.filter(grams, lambda g: F.md5(g).startswith("0"))
-    ))
-    return docs.select(
+    n_grams = F.greatest(F.length("_norm") - (WINNOW_GRAM_CHARS - 1), F.lit(1))
+    grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        fingerprint(text_col).alias("content_fp"),
-        F.md5(F.array_join(sampled, "|")).alias("winnow_fp"),
-        F.size(sampled).cast("bigint").alias("n_sampled_grams"),
+        norm.alias("_norm"),
+    ).select(
+        "doc_id",
+        "_norm",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.col("_norm"), i, F.lit(WINNOW_GRAM_CHARS)),
+        )).alias("g"),
+    )
+    sampled = F.array_sort(F.array_distinct(F.collect_list(
+        F.when(F.substring(F.md5("g"), 1, 1) == "0", F.col("g"))
+    )))
+    return (
+        grams.groupBy("doc_id")
+        .agg(F.first("_norm").alias("_norm"), sampled.alias("_sampled"))
+        .select(
+            "doc_id",
+            F.md5("_norm").alias("content_fp"),
+            F.md5(F.array_join("_sampled", "|")).alias("winnow_fp"),
+            F.size("_sampled").cast("bigint").alias("n_sampled_grams"),
+        )
     )

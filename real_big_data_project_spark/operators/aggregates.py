@@ -30,9 +30,19 @@ def ohlcv_daily(
 ) -> DataFrame:
     """A1/A2/A3 — per (key, calendar day): open/high/low/close/volume/mean.
 
-    One hash-aggregate with map-side partial agg — a single shuffle on
-    (key, day). At 100 TB the input should be date-partitioned parquet so
-    the day grouping co-locates with partition pruning.
+    Single shuffle on (key, day) with map-side partial aggregation either
+    way, but the physical aggregate depends on `tiebreak`:
+
+      * tiebreak=None → min_by on the bare timestamp → HashAggregate
+        (primitive buffer). Correct ONLY when (key, ts) is unique —
+        assert that invariant on the feed.
+      * tiebreak set → min_by on struct(ts, tiebreak) → SortAggregate
+        (struct buffers aren't hash-aggregable), i.e. a map-side sort on
+        the grouping key. Total ordering under duplicate timestamps, at
+        the standard cost of order-sensitive aggregation.
+
+    At 100 TB the input should be date-partitioned parquet so the day
+    grouping co-locates with partition pruning.
     """
     o = _ord(ts, tiebreak)
     out = (

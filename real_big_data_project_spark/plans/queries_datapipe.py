@@ -56,29 +56,36 @@ shingled AS (
 )
 """
 
-MINHASH_HASHES = 16
-MINHASH_BANDS = 4
-_ROWS = MINHASH_HASHES // MINHASH_BANDS
-
-
 def _sql_minhash_bands() -> str:
-    """Per-doc LSH band keys: min salted md5 per salt, 4 bands of 4."""
+    """Per-doc LSH band keys, mirroring datapipe/dedup_text.py's slice
+    scheme: 2 salted md5s per shingle, 4 disjoint 8-hex-char slices each
+    → 8 min-components m0..m7 → 4 bands of 2."""
     mins = ",\n         ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS m{i}"
-        for i in range(MINHASH_HASHES)
+        f"min(substr(h{i}, {k * 8 + 1}, 8)) AS m{i * DT.SLICES_PER_MD5 + k}"
+        for i in range(len(DT.MINHASH_SALTS))
+        for k in range(DT.SLICES_PER_MD5)
+    )
+    hashes = ", ".join(
+        f"md5('{salt}:' || s) AS h{i}" for i, salt in enumerate(DT.MINHASH_SALTS)
     )
     bands = ", ".join(
         "'b{b}:' || md5({cat})".format(
             b=b,
-            cat=" || '|' || ".join(f"m{i}" for i in range(b * _ROWS, (b + 1) * _ROWS)),
+            cat=" || '|' || ".join(
+                f"m{b * DT.MINHASH_ROWS + r}" for r in range(DT.MINHASH_ROWS)
+            ),
         )
-        for b in range(MINHASH_BANDS)
+        for b in range(DT.MINHASH_BANDS_N)
     )
     return f"""
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM shingled
+  FROM (
+    SELECT doc_id, {hashes}
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+  )
+  GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, unnest(list_value({bands})) AS band FROM sigs
@@ -296,18 +303,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_sql_minhash_bands()}
     SELECT doc_a, doc_b, n_bands FROM cand
     """,
-    description="MinHash+LSH near-dup candidates: 3-word shingles → 16 "
-                "salted-md5 minhashes → 4 bands × 4 rows → band-key "
-                "self-join. One shuffle on the band key; finds the planted "
-                "near-copies (Jaccard ≈ 0.9 ⇒ collide w.p. ≈ 1).",
+    description="MinHash+LSH near-dup candidates: 3-word shingles → 8 "
+                "slice-derived minhash components (2 md5/shingle) → 4 "
+                "bands × 2 rows → band-key self-join. Shingles exploded "
+                "into a codegen'd min aggregate; one shuffle on the band "
+                "key; finds the planted near-copies (Jaccard ≈ 0.9 ⇒ "
+                "collide w.p. ≈ 1).",
     tags=("datapipe",),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
-    return DT.minhash_lsh_candidates(
-        CP.with_near_duplicates(docs),
-        n_shingle=3, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS,
-    )
+    return DT.minhash_lsh_candidates(CP.with_near_duplicates(docs), n_shingle=3)
 
 
 @register(
@@ -333,9 +339,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     corpus = CP.with_near_duplicates(docs)
-    cand = DT.minhash_lsh_candidates(
-        corpus, n_shingle=3, num_hashes=MINHASH_HASHES, num_bands=MINHASH_BANDS
-    )
+    cand = DT.minhash_lsh_candidates(corpus, n_shingle=3)
     return DT.ngram_jaccard_pairs(corpus, cand, n_shingle=3, threshold=0.6)
 
 

@@ -60,6 +60,23 @@ def test_jaccard_verification_bounds(docs, corpus):
     assert exact <= ones
 
 
+def test_simhash_df_impl_matches_reference_column_impl(docs):
+    """The explode/aggregate SimHash (fast path) must produce the exact
+    fingerprint of the HOF reference implementation — the oracle SQL is
+    written against the latter's definition."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.functions.hashing import simhash32_bits
+
+    fast = {r.doc_id: r.sig for r in DT.simhash_signatures(docs).collect()}
+    ref = {
+        r.doc_id: r.sig
+        for r in docs.select("doc_id", simhash32_bits("text").alias("sig"))
+        .limit(50).collect()
+    }
+    assert ref and all(fast[k] == v for k, v in ref.items())
+
+
 def test_simhash_finds_exact_copies_at_zero_hamming(docs, corpus):
     pairs = DT.simhash_near_pairs(corpus, max_hamming=3)
     zero = {(r.doc_a, r.doc_b) for r in pairs.collect() if r.hamming == 0}
