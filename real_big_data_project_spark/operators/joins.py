@@ -83,6 +83,65 @@ def surrogate_keys(
     return numbered.drop("_rn")
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_values: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (backward, inclusive) join: for every left row, the latest
+    right row of the same `key` with right.ts <= left.ts; NULLs when no
+    prior right row exists (LEFT semantics).
+
+    Not in the reference (SURVEY §2.5 notes its absence) but the canonical
+    financial operator its tick model implies (trade ⟕ latest quote).
+
+    Spark has no ASOF JOIN; a range-join would explode. This is the
+    scalable restatement: tag + UNION both inputs, one window pass
+    carrying the last non-null right payload over (key ORDER BY ts,
+    right-before-left, tiebreak), then keep the left rows — exactly ONE
+    shuffle on `key`, linear in |L|+|R|, skew handled by AQE. Right rows
+    sort before left rows at equal ts, which yields the inclusive
+    backward semantics (matching e.g. DuckDB's ASOF JOIN with >=).
+    """
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_values])
+    payload_type = right.select(payload.alias("p")).schema["p"].dataType
+    l_tag = left.withColumn("_src", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(payload_type)
+    )
+    # build the payload struct BEFORE projecting right down to (key, ts) —
+    # the projection nulls out left-named columns the struct may reference
+    r_tag = right.withColumn("_payload", payload).select(
+        F.col(key), F.col(ts),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols if c not in (key, ts)],
+        F.lit(0).alias("_src"),
+        "_payload",
+    )
+    both = l_tag.select(*lcols, "_src", "_payload").unionByName(
+        r_tag.select(*lcols, "_src", "_payload")
+    )
+    order = [F.col(ts).asc(), F.col("_src").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_payload", ignorenulls=True).over(w)
+    out = (
+        both.withColumn("_carried", carried)
+        .filter(F.col("_src") == 1)
+        .drop("_src", "_payload")
+    )
+    for c in right_values:
+        out = out.withColumn(f"asof_{c}", F.col("_carried")[c])
+    return out.drop("_carried")
+
+
 def resolve_identity(
     incoming: DataFrame,
     existing: DataFrame,

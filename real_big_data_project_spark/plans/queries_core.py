@@ -546,6 +546,36 @@ def q_company_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+    WITH quotes AS (SELECT * FROM events WHERE event_id % 5 = 0),
+         trades AS (SELECT * FROM events WHERE event_id % 5 != 0)
+    SELECT t.event_id, t.user_id, t.ts, t.value,
+           q.value AS asof_value, q.ts AS asof_ts
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+    description="As-of (backward, inclusive) join — trade ⟕ latest quote. "
+                "Spark lacks ASOF JOIN; implemented as tag+union+window "
+                "last_value(ignoreNulls) over (key ORDER BY ts) — one "
+                "shuffle, linear, no range-join explosion. Oracle uses "
+                "DuckDB's native ASOF LEFT JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    quotes = ev.filter(F.col("event_id") % 5 == 0)
+    trades = ev.filter(F.col("event_id") % 5 != 0)
+    out = J.asof_join_backward(
+        trades.select("event_id", "user_id", "ts", "value"),
+        quotes.select("user_id", "ts", "value"),
+        key="user_id", ts="ts", right_values=["value", "ts"],
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "value",
+                      "asof_value", "asof_ts")
+
+
+@register(
     "q_surrogate_keys",
     oracle="""
     WITH existing AS (SELECT * FROM supplier WHERE s_suppkey < 50),
@@ -791,6 +821,51 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return cust.unionByName(supp)
+
+
+@register(
+    "q_daily_stats_table",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) AS high,
+             min(value) AS low,
+             cast(sum((event_id % 1000) + 1) AS BIGINT) AS volume,
+             round(stddev_samp(value), 6) AS day_std
+      FROM events GROUP BY user_id, cast(ts AS DATE)
+    )
+    SELECT user_id, trade_date, open, close, high, low, volume, day_std,
+           CASE WHEN lag(close) OVER w IS NULL OR lag(close) OVER w = 0
+                THEN 0.0
+                ELSE (close - lag(close) OVER w) / abs(lag(close) OVER w)
+           END AS close_pct_change
+    FROM bars
+    WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+    """,
+    description="Dashboard tab-2 daily-statistics table "
+                "(dashboard/tabs/tab2.py:103-133): daily OHLCV + intraday "
+                "std + day-over-day close pct-change — the OHLCV aggregate "
+                "composed with a lag window over its own output; both "
+                "stages share the shuffle on the series key.",
+)
+def q_daily_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+    bars = A.ohlcv_daily(
+        ev, key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="trade_date", tiebreak="event_id",
+    ).drop("mean")
+    std = ev.groupBy(
+        F.col("user_id"), F.col("ts").cast("date").alias("trade_date")
+    ).agg(F.round(F.stddev_samp("value"), 6).alias("day_std"))
+    daily = bars.join(std, on=["user_id", "trade_date"])
+    out = W.lag_pct_change(daily, key="user_id", ts="trade_date", price="close")
+    return out.select(
+        "user_id", "trade_date", "open", "close", "high", "low",
+        F.col("volume").cast("bigint").alias("volume"), "day_std",
+        F.col("pct_change").alias("close_pct_change"),
+    )
 
 
 _PASSTHROUGH_SQL = """

@@ -43,3 +43,30 @@ def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "trade_date", "open", "close", "high", "low",
         F.col("volume").cast("bigint").alias("volume"), "mean",
     )
+
+
+@register(
+    "q_streaming_stateful_pct",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           CASE WHEN lag(value) OVER w IS NULL OR lag(value) OVER w = 0
+                THEN 0.0
+                ELSE (value - lag(value) OVER w) / abs(lag(value) OVER w)
+           END AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="Custom stateful streaming operator via "
+                "applyInPandasWithState: per-series running pct-change "
+                "with GroupState carrying the last (ts, value) — O(#series)"
+                " state, Arrow-batched per group. Drained with availableNow"
+                " it must equal the batch lag window — same oracle.",
+    tags=("streaming",),
+)
+def q_streaming_stateful_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import run_stateful_pct_change
+
+    out = run_stateful_pct_change(spark, sf_dir)
+    return out.select("event_id", "user_id", "ts", "value",
+                      "prev_value", "pct_change")

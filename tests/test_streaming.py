@@ -1,0 +1,71 @@
+"""Streaming semantics tests: the streaming plans must compute exactly
+the batch operators' results — including across microbatch boundaries,
+where GroupState (not a window over history) carries the running state."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from real_big_data_project_spark.operators.windows import lag_pct_change
+from real_big_data_project_spark.sources.registry import load_table
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "_artifacts")
+
+
+def test_streaming_ohlcv_equals_batch(spark, sf_dir):
+    from real_big_data_project_spark.operators.aggregates import ohlcv_daily
+    from real_big_data_project_spark.sources.registry import events_with_volume
+    from real_big_data_project_spark.streaming.ohlcv_stream import (
+        run_ohlcv_available_now,
+    )
+
+    stream = run_ohlcv_available_now(spark, sf_dir)
+    batch = ohlcv_daily(
+        events_with_volume(spark, sf_dir),
+        key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="trade_date", tiebreak="event_id",
+    )
+    s = stream.orderBy("user_id", "trade_date").collect()
+    b = batch.select(*stream.columns).orderBy("user_id", "trade_date").collect()
+    assert s == b
+
+
+@pytest.fixture()
+def landing_dir(sf_dir):
+    """events split into two time-ordered parquet files (a landing dir),
+    modification times forced so the file source picks them up in order."""
+    out = os.path.join(ART, "stream_landing")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["ts", "event_id"])
+    mid = len(pdf) // 2
+    p1, p2 = os.path.join(out, "batch1.parquet"), os.path.join(out, "batch2.parquet")
+    pdf.iloc[:mid].to_parquet(p1, index=False)
+    pdf.iloc[mid:].to_parquet(p2, index=False)
+    os.utime(p1, (1_700_000_000, 1_700_000_000))
+    os.utime(p2, (1_700_000_100, 1_700_000_100))
+    return out
+
+
+def test_stateful_pct_change_carries_state_across_microbatches(spark, landing_dir, sf_dir):
+    from real_big_data_project_spark.streaming.stateful import (
+        run_stateful_pct_change,
+    )
+
+    stream = run_stateful_pct_change(
+        spark, landing_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    batch = lag_pct_change(
+        load_table(spark, sf_dir, "events"), key="user_id", ts="ts", price="value"
+    )
+    s = stream.select("event_id", "prev_value", "pct_change").orderBy("event_id").collect()
+    b = batch.select("event_id", "prev_value", "pct_change").orderBy("event_id").collect()
+    assert len(s) == len(b) > 0
+    # row 1 of batch2 for each user must see batch1's tail value — that
+    # equality is exactly what GroupState carry-over provides
+    assert s == b
