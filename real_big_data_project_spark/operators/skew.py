@@ -1,0 +1,62 @@
+"""Skew-handling aggregation (the 100 TB posture for hot keys).
+
+AQE's skew-join splitting covers joins, but a groupBy on a power-law key
+(one user/symbol with 100M ticks) still funnels each hot key through one
+reducer. Classic fix: SALTED TWO-PHASE aggregation — partial-aggregate on
+(key, salt), then merge partials per key. Works for any algebraic
+aggregate (sum/count/min/max and their compositions).
+
+salt_partitions trades one extra (tiny) shuffle for bounded reducer fan-in
+— the partial shuffle spreads each hot key over N reducers. For aggregates
+Spark already does map-side partial aggregation, which usually suffices;
+salting matters when the DISTINCT key count is small relative to
+executors (partials still collide on the same reducer) — exactly the
+hot-symbol case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """sum/count/min/max of `value` per `keys`, salted two-phase.
+
+    Phase 1 shuffles on (keys, salt) — each hot key spread over n_salts
+    reducers; phase 2 merges the ≤ n_salts partials per key (tiny).
+    Result is exactly groupBy(keys).agg(sum, count, min, max).
+    """
+    salt = (F.crc32(F.concat_ws("§", *[F.col(k).cast("string") for k in keys],
+                                F.monotonically_increasing_id().cast("string")))
+            % n_salts).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.sum(value).alias("_s"),
+            F.count(value).alias("_c"),
+            F.min(value).alias("_mn"),
+            F.max(value).alias("_mx"),
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("_s").alias("sum_value"),
+            F.sum("_c").alias("count_value"),
+            F.min("_mn").alias("min_value"),
+            F.max("_mx").alias("max_value"),
+        )
+    )
+
+
+def with_salt(col: Column, n_salts: int) -> Column:
+    """Deterministic row salt for pre-spreading a skewed join key:
+    append to the key on the big side, explode 0..n-1 on the small side."""
+    return F.pmod(F.xxhash64(col), F.lit(n_salts))

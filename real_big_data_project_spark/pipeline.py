@@ -172,6 +172,25 @@ def compress_stocks(stocks: DataFrame) -> DataFrame:
     return tick_compression(stocks, key="cid", ts="date", price="value")
 
 
+def files_to_process(discovered: DataFrame, ledger: DataFrame | None) -> DataFrame:
+    """Ingestion ledger (the `file_done` table,
+    etl/timescaledb_model.py:277): keep only discovered file names not
+    yet recorded — a left_anti join, the incremental-ingest gate."""
+    if ledger is None:
+        return discovered
+    return discovered.join(
+        ledger.select("name").distinct(), on="name", how="left_anti"
+    )
+
+
+def mark_files_done(ledger: DataFrame | None, processed: DataFrame) -> DataFrame:
+    """Append processed file names to the ledger (idempotent via distinct)."""
+    newly = processed.select("name").distinct()
+    if ledger is None:
+        return newly
+    return ledger.select("name").unionByName(newly).distinct()
+
+
 def run_pipeline(
     spark: SparkSession,
     raw_snapshots: DataFrame,

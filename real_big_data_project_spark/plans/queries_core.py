@@ -880,6 +880,49 @@ GROUP BY n.n_name
 """
 
 
+_TABLE_VALUES = ", ".join(f"('{t}')" for t in R.TABLES)
+
+
+@register(
+    "q_catalog_tables",
+    oracle=f"""
+    SELECT table_name FROM (VALUES {_TABLE_VALUES}) AS t(table_name)
+    """,
+    description="Q2 — catalog introspection "
+                "(information_schema queries, "
+                "dashboard/timescaledb_model.py:600-602,:637-646): SHOW "
+                "TABLES over the registered views, filtered to the "
+                "engine's table set (the driver session may hold other "
+                "temp views).",
+)
+def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R.register_views(spark, sf_dir)
+    return (
+        spark.sql("SHOW TABLES")
+        .select(F.col("tableName").alias("table_name"))
+        .filter(F.col("table_name").isin(*R.TABLES))
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific — rows-only gate;
+                  # accuracy pinned by tests/test_plans.py
+    description="A5 at scale — approx_count_distinct (HyperLogLog++) next "
+                "to the exact count: the 100 TB cardinality path (no "
+                "global shuffle of distinct values, fixed-size sketch "
+                "merged map-side).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+    )
+
+
 @register(
     "q_sql_passthrough",
     oracle=_PASSTHROUGH_SQL,

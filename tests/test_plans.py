@@ -1,0 +1,111 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on must not silently degrade (PERF_NOTES.md invariants). These
+assert on `executedPlan` strings — cheap, no data execution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_big_data_project_spark.plans import queries_map
+from real_big_data_project_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return queries_map()
+
+
+def plan_of(qmap, spark, sf_dir, name: str) -> str:
+    return qmap[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_partition_prune")
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    # column pruning: only the 3 projected columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate" in plan
+
+
+def test_dim_lookup_broadcasts(qmap, spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(qmap, spark, sf_dir, "q_broadcast_lookup")
+
+
+def test_topk_avoids_global_sort(qmap, spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(qmap, spark, sf_dir, "q_topk")
+
+
+def test_ann_brute_force_has_no_corpus_shuffle(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ohlcv_single_shuffle(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_ohlcv_daily")
+    assert plan.count("Exchange") == 1
+
+
+def test_ohlcv_hash_aggregates_without_tiebreak(spark, sf_dir):
+    """Bare-ts ordering key must keep the cheap HashAggregate path
+    (operators/aggregates.py docstring contract)."""
+    from real_big_data_project_spark.operators.aggregates import ohlcv_daily
+    from real_big_data_project_spark.sources.registry import events_with_volume
+
+    df = ohlcv_daily(events_with_volume(spark, sf_dir), key="user_id",
+                     ts="ts", price="value", volume="volume")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_simhash_join_is_codegen_bit_ops(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_dedup_simhash")
+    assert "bit_count" in plan
+    assert "ArrayAggregate" not in plan  # no interpreted fold anywhere
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from real_big_data_project_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = {r.user_id: r for r in salted_sum_count(
+        ev, keys=["user_id"], value="value").collect()}
+    direct = {r.user_id: r for r in ev.groupBy("user_id").agg(
+        F.sum("value").alias("s"), F.count("value").alias("c"),
+        F.min("value").alias("mn"), F.max("value").alias("mx")).collect()}
+    assert set(salted) == set(direct)
+    for k, d in direct.items():
+        s = salted[k]
+        assert s.count_value == d.c and s.min_value == d.mn and s.max_value == d.mx
+        assert s.sum_value == pytest.approx(d.s, rel=1e-12)
+
+
+def test_approx_distinct_within_tolerance(qmap, spark, sf_dir):
+    row = qmap["q_approx_distinct"](spark, sf_dir).collect()[0]
+    assert abs(row.approx_users - row.exact_users) <= max(1, 0.05 * row.exact_users)
+    assert abs(row.approx_types - row.exact_types) <= max(1, 0.05 * row.exact_types)
+
+
+def test_excel_source_contract(spark):
+    """S3: decodes via pandas when openpyxl exists, else a clear,
+    actionable NotImplementedError (stub contract)."""
+    from real_big_data_project_spark.sources import excel_source as X
+
+    if not X.HAS_EXCEL:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            X.read_excel_listing(spark, "/nonexistent.xlsx")
+    else:  # pragma: no cover - environment-dependent
+        pass
+
+
+def test_file_ledger_incremental_gate(spark):
+    from real_big_data_project_spark.pipeline import files_to_process, mark_files_done
+
+    disc = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+    ledger = None
+    first = files_to_process(disc, ledger)
+    assert first.count() == 3
+    ledger = mark_files_done(ledger, first)
+    again = files_to_process(disc, ledger)
+    assert again.count() == 0  # nothing re-ingested
+    more = spark.createDataFrame([("c",), ("d",)], "name string")
+    assert files_to_process(more, ledger).count() == 1
