@@ -880,6 +880,57 @@ GROUP BY n.n_name
 """
 
 
+@register(
+    "q_daily_bars_fallback",
+    oracle="""
+    WITH daystocks AS (          -- precomputed bars exist only for user_id < 25
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) AS high, min(value) AS low
+      FROM events WHERE user_id < 25
+      GROUP BY user_id, cast(ts AS DATE)
+    ),
+    fallback AS (                -- users with no bars: aggregate raw ticks
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) AS high, min(value) AS low
+      FROM events
+      WHERE user_id NOT IN (SELECT DISTINCT user_id FROM daystocks)
+      GROUP BY user_id, cast(ts AS DATE)
+    )
+    SELECT user_id, trade_date, open, close, high, low, 'daystocks' AS src
+    FROM daystocks
+    UNION ALL
+    SELECT user_id, trade_date, open, close, high, low, 'fallback' AS src
+    FROM fallback
+    """,
+    description="The dashboard's fallback path (SURVEY §3.2, "
+                "dashboard/timescaledb_model.py:526-572): serve "
+                "precomputed daystocks when present, else aggregate raw "
+                "ticks on the fly — anti-join to find uncovered series, "
+                "unioned as one daily_bars view.",
+)
+def q_daily_bars_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+
+    def bars(df: DataFrame) -> DataFrame:
+        return A.ohlcv_daily(
+            df, key="user_id", ts="ts", price="value", volume="volume",
+            day_alias="trade_date", tiebreak="event_id",
+        ).select("user_id", "trade_date", "open", "close", "high", "low")
+
+    daystocks = bars(ev.filter(F.col("user_id") < 25))
+    covered = daystocks.select("user_id").distinct()
+    uncovered_ticks = J.anti_join_new_keys(ev, covered, on=["user_id"])
+    fallback = bars(uncovered_ticks)
+    return (
+        daystocks.withColumn("src", F.lit("daystocks"))
+        .unionByName(fallback.withColumn("src", F.lit("fallback")))
+    )
+
+
 _TABLE_VALUES = ", ".join(f"('{t}')" for t in R.TABLES)
 
 

@@ -454,6 +454,79 @@ def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_QUALITY = r"""
+      (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+            AND length(trim(text)) != 0 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN length(trim(text)) != 0
+              AND CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+              THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+              AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                  / len(string_split_regex(lower(trim(text)), '\s+')) >= 0.01
+              THEN 0.3 ELSE 0.0 END)
+"""
+
+
+@register(
+    "q_corpus_select",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             ' ' || lower(text) || ' ' AS c
+      FROM documents
+    ),
+    langs AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+             WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             ELSE 'de' END AS lang_guess
+      FROM (SELECT doc_id, {_sql_lang_scores()} FROM stats)
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS keeper FROM stats GROUP BY fp)
+    SELECT s.doc_id, s.n_tokens, s.quality, l.lang_guess
+    FROM stats s
+    JOIN langs l USING (doc_id)
+    JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper
+    WHERE s.quality >= 0.7 AND l.lang_guess = 'en'
+      AND s.n_tokens BETWEEN 20 AND 100000
+    """,
+    description="Training-corpus selection capstone: compose quality "
+                "scoring + language-ID + exact-dedup keeper policy into "
+                "one selection query — the realistic 'pick the docs to "
+                "train on' pass; every stage map-only except the dedup "
+                "hash-agg and the final (broadcast-sized) joins.",
+    tags=("datapipe",),
+)
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    stats = CP.text_stats(docs).select("doc_id", "n_tokens", "quality")
+    langs = CP.lang_id(docs).select("doc_id", "lang_guess")
+    fps = docs.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        stats.join(langs, "doc_id")
+        .join(keepers.select("doc_id"), "doc_id")
+        .filter(
+            (F.col("quality") >= 0.7)
+            & (F.col("lang_guess") == "en")
+            & F.col("n_tokens").between(20, 100000)
+        )
+        .select("doc_id", "n_tokens", "quality", "lang_guess")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (datapipe/multimodal.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Hypothesis property tests for the scalar cleansing layer (SURVEY §5.3):
+the Column expressions must agree with straightforward Python reference
+implementations on arbitrary dirty inputs. Each property runs a small
+number of examples, but each example is a LIST of strings evaluated in
+one Spark job — property coverage without per-example JVM round-trips."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_big_data_project_spark.functions import cleansing as C
+from real_big_data_project_spark.schemas import MARKET_PREFIXES
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# locale-dirty price strings: digits, comma/dot decimals, (c)-style
+# markers, whitespace, stray junk
+dirty_price = st.one_of(
+    st.from_regex(r"\d{1,6}([.,]\d{1,4})?( ?\([a-zA-Z ]{0,3}\))?", fullmatch=True),
+    st.text(alphabet="0123456789.,() abcdef-", min_size=0, max_size=12),
+)
+
+
+def _py_clean_price(s: str) -> float | None:
+    s = re.sub(r"\([a-zA-Z ]*\)", "", s)
+    s = re.sub(r"\s+", "", s)
+    s = s.replace(",", ".")
+    s = re.sub(r"[^0-9.\-]", "", s)
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+@given(st.lists(dirty_price, min_size=1, max_size=60))
+@SET
+def test_clean_price_string_matches_python_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r.x for r in
+           df.select(C.clean_price_string(F.col("raw")).alias("x")).collect()]
+    expected = [_py_clean_price(v) for v in values]
+    for g, e, v in zip(got, expected, values):
+        if e is None or (e != e):  # unparsable or Python-side NaN
+            assert g is None or g != g, (v, g, e)
+        else:
+            assert g == e, (v, g, e)
+
+
+symbols = st.one_of(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=6),
+    st.builds(lambda p, s: p + s,
+              st.sampled_from([p for p, _ in MARKET_PREFIXES]),
+              st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=6)),
+)
+
+
+def _py_normalize(sym: str) -> tuple[str, int]:
+    for prefix, mid in MARKET_PREFIXES:
+        if sym.startswith(prefix):
+            return sym[len(prefix):], mid
+    return sym, 6
+
+
+@given(st.lists(symbols, min_size=1, max_size=60))
+@SET
+def test_symbol_normalization_matches_python_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "sym string")
+    rows = df.select(
+        "sym",
+        C.normalized_symbol(F.col("sym")).alias("norm"),
+        C.market_id_from_symbol(F.col("sym")).alias("mid"),
+    ).collect()
+    for r in rows:
+        norm, mid = _py_normalize(r.sym)
+        assert (r.norm, r.mid) == (norm, mid), r.sym
+
+
+@given(st.lists(
+    st.tuples(st.floats(-1e6, 1e6), st.floats(-1e6, 1e6)),
+    min_size=1, max_size=60,
+))
+@SET
+def test_pct_change_guards(spark, pairs):
+    df = spark.createDataFrame(
+        [(float(c), float(p)) for c, p in pairs], "cur double, prev double"
+    )
+    rows = df.select(
+        "cur", "prev",
+        C.pct_change(F.col("cur"), F.col("prev")).alias("pc"),
+    ).collect()
+    for r in rows:
+        if r.prev == 0:
+            assert r.pc == 0.0
+        else:
+            assert r.pc == (r.cur - r.prev) / abs(r.prev)
