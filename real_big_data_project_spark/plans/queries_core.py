@@ -881,6 +881,82 @@ GROUP BY n.n_name
 
 
 @register(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH snaps AS (
+      SELECT 'U' || user_id AS norm_symbol,
+             ts,
+             CAST(CAST(value AS DECIMAL(12,4)) AS VARCHAR) AS last,
+             (event_id % 1000) + 1 AS volume
+      FROM events
+    ),
+    clean AS (
+      SELECT norm_symbol, ts, CAST(last AS DOUBLE) AS value, volume
+      FROM snaps WHERE CAST(last AS DOUBLE) > 0 AND volume > 0
+    ),
+    companies AS (
+      SELECT norm_symbol,
+             CAST(row_number() OVER (ORDER BY norm_symbol) AS INT) AS id
+      FROM (SELECT DISTINCT norm_symbol FROM clean)
+    ),
+    stocks AS (
+      SELECT c.id AS cid, cl.ts AS date,
+             CAST(cl.value AS REAL) AS value,
+             CAST(cl.volume AS REAL) AS volume
+      FROM clean cl JOIN companies c USING (norm_symbol)
+    )
+    SELECT c.norm_symbol AS symbol,
+           CAST(s.date AS DATE) AS trade_date,
+           first(s.value ORDER BY s.date) AS open,
+           last(s.value ORDER BY s.date) AS close,
+           max(s.value) AS high,
+           min(s.value) AS low,
+           CAST(sum(s.volume) AS BIGINT) AS volume
+    FROM stocks s JOIN companies c ON c.id = s.cid
+    GROUP BY c.norm_symbol, CAST(s.date AS DATE)
+    """,
+    description="Full ETL pipeline end-to-end under the gate (§3.1): raw "
+                "snapshot rows (synthesized from events: prefixed symbols, "
+                "SRD names, stringly prices) → clean → dimension build with "
+                "dense surrogate keys → broadcast cid-stamping → daily "
+                "OHLCV bars, FLOAT4 schema fidelity throughout; the oracle "
+                "replays the whole flow in SQL. mean/std excluded: REAL "
+                "arithmetic promotes differently across engines.",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import pipeline as P
+
+    ev = R.load_table(spark, sf_dir, "events")
+    u = F.concat(F.lit("U"), F.col("user_id").cast("string"))
+    prefixed = (
+        F.when(F.col("user_id") % 3 == 0, F.concat(F.lit("1rP"), u))
+        .when(F.col("user_id") % 3 == 1, F.concat(F.lit("FF11_"), u))
+        .otherwise(u)
+    )
+    snapshots = ev.select(
+        prefixed.alias("symbol"),
+        F.concat(F.lit("SRD Company "), F.col("user_id").cast("string")).alias("name"),
+        F.col("value").cast("decimal(12,4)").cast("string").alias("last"),
+        (F.col("event_id") % 1000 + 1).alias("volume"),
+        F.lit(None).cast("string").alias("isin"),
+        F.lit("paris").alias("alias"),
+        F.col("ts"),
+    )
+    tables = P.run_pipeline(spark, snapshots)
+    bars = tables["daystocks"]
+    dim = tables["companies"].select(F.col("id").alias("cid"), "symbol")
+    return (
+        bars.join(F.broadcast(dim), on="cid")
+        .select(
+            "symbol",
+            F.col("date").alias("trade_date"),
+            "open", "close", "high", "low",
+            F.col("volume").cast("bigint").alias("volume"),
+        )
+    )
+
+
+@register(
     "q_daily_bars_fallback",
     oracle="""
     WITH daystocks AS (          -- precomputed bars exist only for user_id < 25
