@@ -1007,6 +1007,137 @@ def q_daily_bars_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(strftime(o_orderdate, '%Y'), 'ALL') AS year,
+           coalesce(CASE WHEN GROUPING(strftime(o_orderdate, '%Y-%m')) = 0
+                         THEN strftime(o_orderdate, '%Y-%m') END, 'ALL') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%Y-%m'))
+    """,
+    description="Hierarchical ROLLUP totals (year → month → grand total) — "
+                "absent from the reference (SURVEY §2.6 'not present') but "
+                "part of the full SQL surface its tab-3 passthrough "
+                "promises; one shuffle, grouping-sets expansion map-side.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    year = F.date_format("o_orderdate", "yyyy")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return (
+        orders.rollup(year.alias("y"), month.alias("m"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("y"), F.lit("ALL")).alias("year"),
+            F.coalesce(F.col("m"), F.lit("ALL")).alias("month"),
+            "n_orders", "revenue",
+        )
+    )
+
+
+@register(
+    "q_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type NOT IN ('click','view','purchase')) AS n_other
+    FROM events GROUP BY user_id
+    """,
+    description="Long→wide pivot on the event-type dimension (explicit "
+                "value list so the plan is a single aggregate — never the "
+                "two-pass distinct-discovery pivot at scale).",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == v, 1)).alias(f"n_{v}")
+        for v in known
+    ]
+    aggs.append(
+        F.count(F.when(~F.col("event_type").isin(known), 1)).alias("n_other")
+    )
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT user_id,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY user_id
+    """,
+    description="Exact linear-interpolated percentiles per series (the "
+                "summary-stats surface); at 100 TB swap percentile() for "
+                "approx_percentile's fixed-size sketch — same call shape.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH gapped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM gapped
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    description="Gap-based sessionization (30-min inactivity): lag + "
+                "running sum of session starts — the batch equivalent of a "
+                "streaming session window, one shuffle on the series key.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = R.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts") - prev  # ntz − ntz → day-time interval (tz-free)
+    is_new = F.when(
+        prev.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(run).cast("int")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 _TABLE_VALUES = ", ".join(f"('{t}')" for t in R.TABLES)
 
 
