@@ -44,25 +44,32 @@ def main() -> int:
     force(qmap["q_scan_parquet"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     total = 0.0
     for name in sorted(qmap):
         t0 = time.perf_counter()
         try:
             force(qmap[name](spark, sf_dir))
             dt = time.perf_counter() - t0
-        except Exception as exc:  # a broken query must not sink the bench
+        except Exception as exc:  # a broken query must not sink the bench...
             dt = time.perf_counter() - t0
             print(f"bench: {name} FAILED after {dt:.2f}s: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            failed.append(name)
             continue
         timings[name] = round(dt, 4)
         total += dt
 
+    # ...but it must not make the headline metric look FASTER either:
+    # a failure reads as the full bench timeout, never as saved time.
+    if failed:
+        total += 600.0 * len(failed)
     print(json.dumps({
         "metric": "catalog_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": _sf_from_dir(sf_dir),
     }))
     return 0

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..functions.hashing import normalized_tokens
 
-DUP_ID_OFFSET = 100_000
 TRUNCATE_TAIL_TOKENS = 3
 
 
@@ -28,7 +27,9 @@ def with_near_duplicates(
 ) -> DataFrame:
     """documents ∪ planted duplicates → (doc_id, text).
 
-    Planting rule (deterministic, id-keyed):
+    Planting rule (deterministic, id-keyed; OFFSET = max(doc_id)+1 so
+    planted ids can never collide with real ones at ANY scale factor —
+    a fixed constant silently collides once the table outgrows it):
       * doc_id % 3 == 0 → exact copy (normalized text) at doc_id+OFFSET
       * doc_id % 3 == 1 → near copy: last TRUNCATE_TAIL_TOKENS tokens
         dropped, at doc_id+OFFSET
@@ -44,11 +45,15 @@ def with_near_duplicates(
     trunc = F.array_join(
         F.slice(toks, F.lit(1), F.greatest(n - TRUNCATE_TAIL_TOKENS, F.lit(1))), " "
     )
+    off = docs.agg(
+        (F.coalesce(F.max(id_col), F.lit(0)) + 1).alias("_off")
+    )
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     copies = (
         docs.filter(F.col(id_col) % 3 != 2)
+        .crossJoin(F.broadcast(off))
         .select(
-            (F.col(id_col) + DUP_ID_OFFSET).alias("doc_id"),
+            (F.col(id_col) + F.col("_off")).alias("doc_id"),
             F.when(F.col(id_col) % 3 == 0, exact).otherwise(trunc).alias("text"),
         )
     )

@@ -13,20 +13,32 @@ ranking so the DuckDB oracle (different summation internals) agrees.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, sign_bucket
 
 SIM_ROUND = 5  # absorb cross-engine float-summation jitter
 PERTURB_EPS = 0.01
-PERTURB_ID_OFFSET = 100_000
 DEFAULT_BUCKET_DIMS = list(range(8))
 
 
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Total ranking (rounded sim DESC, neighbor_id ASC) → top-k rows.
+    The per-query shuffle is tiny (#queries × candidates)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def ann_brute_topk(
@@ -39,8 +51,7 @@ def ann_brute_topk(
     """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
 
     The query side is broadcast (it is a handful of rows); the corpus side
-    streams through a BroadcastNestedLoopJoin — no corpus shuffle. Ranking
-    is total: (rounded sim DESC, neighbor_id ASC).
+    streams through a BroadcastNestedLoopJoin — no corpus shuffle.
     """
     vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
@@ -55,16 +66,7 @@ def ann_brute_topk(
             sim.alias("sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ann_bucket_topk(
@@ -97,16 +99,7 @@ def ann_bucket_topk(
         )
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def with_perturbed_copies(
@@ -116,16 +109,19 @@ def with_perturbed_copies(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """embeddings ∪ planted near-duplicates: every even vec_id gets a copy
-    at vec_id+OFFSET perturbed as x → x + eps·|x| (cosine ≈ 1 − O(eps²)).
-    The perturbation preserves every component's SIGN, so the sign-LSH
-    blocking below provably co-buckets each copy with its original — an
-    additive x+eps would flip bits on small components and silently drop
-    ~25% of the planted pairs. The synthetic corpus has no natural
-    near-dup pairs (max cosine ≈ 0.51), so detection needs planted
-    positives — mirrored exactly in the oracle."""
+    at vec_id + (max(vec_id)+1), perturbed as x → x + eps·|x|
+    (cosine ≈ 1 − O(eps²)). The offset is data-derived so planted ids
+    never collide with real ones at any scale. The perturbation preserves
+    every component's SIGN, so the sign-LSH blocking below provably
+    co-buckets each copy with its original — an additive x+eps would flip
+    bits on small components and silently drop ~25% of the planted pairs.
+    The synthetic corpus has no natural near-dup pairs (max cosine ≈
+    0.51), so detection needs planted positives — mirrored exactly in
+    the oracle."""
     base = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
-    copies = base.filter(F.col("vec_id") % 2 == 0).select(
-        (F.col("vec_id") + PERTURB_ID_OFFSET).alias("vec_id"),
+    off = base.agg((F.coalesce(F.max("vec_id"), F.lit(0)) + 1).alias("_off"))
+    copies = base.filter(F.col("vec_id") % 2 == 0).crossJoin(F.broadcast(off)).select(
+        (F.col("vec_id") + F.col("_off")).alias("vec_id"),
         F.transform("v", lambda x: x + eps * F.abs(x)).alias("v"),
     )
     return base.unionByName(copies)

@@ -124,7 +124,14 @@ def asof_join_backward(
     both = l_tag.select(*lcols, "_src", "_payload").unionByName(
         r_tag.select(*lcols, "_src", "_payload")
     )
-    order = [F.col(ts).asc(), F.col("_src").asc()]
+    # Ordering must be total on BOTH sides. `tiebreak` is a left column
+    # (NULL on right rows), so right rows carrying duplicate (key, ts)
+    # additionally order by their payload struct — deterministic
+    # max-payload-wins instead of an arbitrary partitioning-dependent
+    # winner. Left rows all have NULL payload, so this term is inert for
+    # them and their `tiebreak` decides.
+    order = [F.col(ts).asc(), F.col("_src").asc(),
+             F.col("_payload").asc_nulls_first()]
     if tiebreak:
         order.append(F.col(tiebreak).asc_nulls_first())
     w = (

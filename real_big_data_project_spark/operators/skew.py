@@ -32,9 +32,16 @@ def salted_sum_count(
     reducers; phase 2 merges the ≤ n_salts partials per key (tiny).
     Result is exactly groupBy(keys).agg(sum, count, min, max).
     """
-    salt = (F.crc32(F.concat_ws("§", *[F.col(k).cast("string") for k in keys],
-                                F.monotonically_increasing_id().cast("string")))
-            % n_salts).alias("_salt")
+    # Deterministic per-row salt: hash of key + value columns. NEVER a
+    # nondeterministic source (monotonically_increasing_id / rand): under
+    # task retry those re-evaluate differently, re-routing rows across
+    # already-consumed reduce partitions → double-counted or lost rows.
+    # Duplicate rows share a salt (slightly less spreading), which is
+    # harmless for correctness.
+    salt = (F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.col(value)),
+        F.lit(n_salts),
+    )).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
@@ -56,7 +63,11 @@ def salted_sum_count(
     )
 
 
-def with_salt(col: Column, n_salts: int) -> Column:
-    """Deterministic row salt for pre-spreading a skewed join key:
-    append to the key on the big side, explode 0..n-1 on the small side."""
-    return F.pmod(F.xxhash64(col), F.lit(n_salts))
+def with_salt(row_unique_col: Column, n_salts: int) -> Column:
+    """Deterministic row salt for pre-spreading a skewed join key: append
+    to the join key on the BIG side, explode 0..n-1 on the small side.
+
+    `row_unique_col` must vary PER ROW (an event id, a line number —
+    never the join key itself: hashing the key gives every row of a hot
+    key the same salt, which spreads nothing)."""
+    return F.pmod(F.xxhash64(row_unique_col), F.lit(n_salts))

@@ -129,9 +129,11 @@ def build_companies(
     return carried.unionByName(resolved).unionByName(keyed)
 
 
-def build_stocks(ticks: DataFrame, companies: DataFrame) -> DataFrame:
+def build_stocks(ticks: DataFrame, companies: DataFrame,
+                 extra_cols: list[str] | None = None) -> DataFrame:
     """Fact path (etl/etl.py:310-340): broadcast-join the dimension to
-    stamp cid, narrow casts (P7). No shuffle — dim is broadcast."""
+    stamp cid, narrow casts (P7). No shuffle — dim is broadcast.
+    `extra_cols` are carried through untouched (e.g. a tick tiebreak)."""
     dim = F.broadcast(companies.select(
         F.col("symbol").alias("norm_symbol"), F.col("id").alias("cid")
     ))
@@ -142,16 +144,19 @@ def build_stocks(ticks: DataFrame, companies: DataFrame) -> DataFrame:
             F.col("cid").cast("short").alias("cid"),
             F.col("value").cast("float").alias("value"),
             F.col("volume").cast("float").alias("volume"),
+            *[F.col(c) for c in (extra_cols or [])],
         )
     )
 
 
-def build_daystocks(stocks: DataFrame) -> DataFrame:
+def build_daystocks(stocks: DataFrame, tiebreak: str | None = None) -> DataFrame:
     """Daily bars (etl/etl.py:342-370) + per-day std (daystocks DDL has a
-    std column, etl/timescaledb_model.py:264-276)."""
+    std column, etl/timescaledb_model.py:264-276). Pass `tiebreak` when
+    the feed can carry duplicate (cid, date) ticks — see
+    operators/aggregates.py for the HashAggregate/SortAggregate cost."""
     bars = ohlcv_daily(
         stocks, key="cid", ts="date", price="value", volume="volume",
-        day_alias="day",
+        day_alias="day", tiebreak=tiebreak,
     )
     std = stocks.groupBy(
         F.col("cid"), F.col("date").cast("date").alias("day")
@@ -165,11 +170,13 @@ def build_daystocks(stocks: DataFrame) -> DataFrame:
     )
 
 
-def compress_stocks(stocks: DataFrame) -> DataFrame:
+def compress_stocks(stocks: DataFrame, tiebreak: str | None = None) -> DataFrame:
     """D4 — lossy tick compression over the fact table
     (etl/etl.py:372-413). date is unique per cid in a snapshot feed, so no
-    tiebreak is needed; pass one if the feed can carry duplicates."""
-    return tick_compression(stocks, key="cid", ts="date", price="value")
+    tiebreak is needed by default; pass one if the feed can carry
+    duplicate timestamps."""
+    return tick_compression(stocks, key="cid", ts="date", price="value",
+                            tiebreak=tiebreak)
 
 
 def files_to_process(discovered: DataFrame, ledger: DataFrame | None) -> DataFrame:
@@ -195,20 +202,29 @@ def run_pipeline(
     spark: SparkSession,
     raw_snapshots: DataFrame,
     euronext: DataFrame | None = None,
+    tick_tiebreak: str | None = None,
 ) -> dict[str, DataFrame]:
     """The full §3.1 flow. Returns the engine tables as lazy DataFrames;
-    callers write them partitioned by date (hypertable analogue)."""
+    callers write them partitioned by date (hypertable analogue).
+
+    `tick_tiebreak` names a column of `raw_snapshots` that makes
+    (symbol, ts) total when the feed can carry duplicate timestamps
+    (e.g. two scrape files sharing a second); without it, open/close and
+    the compression mask are nondeterministic on such feeds.
+    """
     clean = clean_snapshots(raw_snapshots)
     companies = build_companies(clean)
     if euronext is not None:
         companies = build_companies(clean_euronext(euronext), existing=companies)
-    stocks = build_stocks(
-        clean.select("norm_symbol", "ts", "value", "volume"), companies
-    )
+    tick_cols = ["norm_symbol", "ts", "value", "volume"]
+    if tick_tiebreak:
+        tick_cols.append(tick_tiebreak)
+    stocks = build_stocks(clean.select(*tick_cols), companies,
+                          extra_cols=[tick_tiebreak] if tick_tiebreak else [])
     return {
         "markets": markets_dim(spark),
         "companies": companies,
         "stocks": stocks,
-        "daystocks": build_daystocks(stocks),
-        "stocks_compressed": compress_stocks(stocks),
+        "daystocks": build_daystocks(stocks, tiebreak=tick_tiebreak),
+        "stocks_compressed": compress_stocks(stocks, tiebreak=tick_tiebreak),
     }

@@ -33,7 +33,7 @@ SQL_CORPUS = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {CP.DUP_ID_OFFSET} AS doc_id,
+  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 FROM documents) AS doc_id,
          CASE WHEN doc_id % 3 = 0
               THEN array_to_string(toks, ' ')
               ELSE array_to_string(
@@ -126,7 +126,7 @@ SQL_PVECS = f"""
 pvecs AS (
   SELECT vec_id, v FROM vecs
   UNION ALL
-  SELECT vec_id + {SIM.PERTURB_ID_OFFSET} AS vec_id,
+  SELECT vec_id + (SELECT coalesce(max(vec_id), 0) + 1 FROM vecs) AS vec_id,
          list_transform(v, x -> x + {SIM.PERTURB_EPS} * abs(x)) AS v
   FROM vecs WHERE vec_id % 2 = 0
 )

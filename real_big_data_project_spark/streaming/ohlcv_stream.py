@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import ensure_session_confs
-from ..sources.registry import _TS_FROM_NANOS
 
 # Physical schema of events.parquet under nanosAsLong (see sources/registry).
 EVENTS_RAW_SCHEMA = T.StructType([

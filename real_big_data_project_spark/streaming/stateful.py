@@ -53,9 +53,21 @@ def _running_pct_change(
 ) -> Iterator[pd.DataFrame]:
     """Per-group: sort this batch by (ts, event_id), thread the carried
     last value through it, persist the new tail. None (never NaN) for the
-    first-ever row's prev so the sink column is genuinely NULL."""
+    first-ever row's prev so the sink column is genuinely NULL.
+
+    Rows at or before the persisted last_ts are LATE DATA and are dropped
+    (the watermark discipline): processing them against a future state
+    value would corrupt pct_change, and the state must never rewind —
+    an out-of-order backfill file would otherwise poison every later
+    batch."""
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    last_value = state.get[1] if state.exists else None
+    if state.exists:
+        last_ts, last_value = state.get
+        rows = rows[rows["ts"] > last_ts]
+    else:
+        last_value = None
+    if rows.empty:
+        return
     prevs: list[float | None] = []
     pcts: list[float] = []
     for v in rows["value"]:

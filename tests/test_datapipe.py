@@ -28,7 +28,8 @@ def corpus(docs):
 
 def _planted_pairs(docs, mod):
     ids = [r.doc_id for r in docs.select("doc_id").collect()]
-    return {(i, i + CP.DUP_ID_OFFSET) for i in ids if i % 3 == mod}
+    offset = max(ids) + 1  # with_near_duplicates derives it the same way
+    return {(i, i + offset) for i in ids if i % 3 == mod}
 
 
 def test_exact_dedup_finds_planted_exact_copies(docs, corpus):
@@ -86,11 +87,10 @@ def test_simhash_finds_exact_copies_at_zero_hamming(docs, corpus):
 def test_embedding_near_dups_are_exactly_the_planted_copies(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_near_duplicates(emb, threshold=0.9).collect()
-    even_ids = {
-        r.vec_id for r in emb.select("vec_id").collect() if r.vec_id % 2 == 0
-    }
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    offset = max(all_ids) + 1  # with_perturbed_copies derives it the same way
     found = {(r.vec_a, r.vec_b) for r in pairs}
-    expected = {(i, i + SIM.PERTURB_ID_OFFSET) for i in even_ids}
+    expected = {(i, i + offset) for i in all_ids if i % 2 == 0}
     assert found == expected  # natural max cosine ≈ 0.51 ≪ 0.9
     assert all(r.sim > 0.99 for r in pairs)
 

@@ -52,6 +52,35 @@ def landing_dir(sf_dir):
     return out
 
 
+def test_stateful_pct_change_drops_late_backfill(spark, sf_dir):
+    """An out-of-order backfill file (older event times arriving in a
+    LATER microbatch) must be dropped as late data — never processed
+    against a future state value, never rewinding the state."""
+    from real_big_data_project_spark.streaming.stateful import (
+        run_stateful_pct_change,
+    )
+
+    out = os.path.join(ART, "stream_landing_ooo")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["ts", "event_id"])
+    mid = len(pdf) // 2
+    p_new = os.path.join(out, "recent.parquet")
+    p_old = os.path.join(out, "backfill.parquet")
+    pdf.iloc[mid:].to_parquet(p_new, index=False)   # NEWER data first...
+    pdf.iloc[:mid].to_parquet(p_old, index=False)   # ...older file second
+    os.utime(p_new, (1_700_000_000, 1_700_000_000))
+    os.utime(p_old, (1_700_000_100, 1_700_000_100))
+
+    stream = run_stateful_pct_change(
+        spark, out, glob="*.parquet", max_files_per_trigger=1
+    )
+    got_ids = {r.event_id for r in stream.select("event_id").collect()}
+    newer_ids = set(pdf.iloc[mid:]["event_id"])
+    assert got_ids == newer_ids  # every backfill row dropped, none corrupted
+
+
 def test_stateful_pct_change_carries_state_across_microbatches(spark, landing_dir, sf_dir):
     from real_big_data_project_spark.streaming.stateful import (
         run_stateful_pct_change,
