@@ -71,3 +71,28 @@ def with_salt(row_unique_col: Column, n_salts: int) -> Column:
     never the join key itself: hashing the key gives every row of a hot
     key the same salt, which spreads nothing)."""
     return F.pmod(F.xxhash64(row_unique_col), F.lit(n_salts))
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    big_row_unique: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a skew-salted key: each big-side row gets a
+    deterministic salt from its row-unique column; the small side is
+    exploded across all salts so every (key, salt) pair still matches.
+    The shuffle key becomes (key, salt) — a hot key spreads over n_salts
+    reducers at the cost of replicating the small side n_salts×.
+
+    Use when AQE's skew-join splitting isn't available (e.g. the join
+    feeds an operator that pins partitioning) or the small side is too
+    big to broadcast but cheap to replicate. Result equals
+    big.join(small, on, how) exactly (tested)."""
+    b = big.withColumn("_salt", with_salt(F.col(big_row_unique), n_salts))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return b.join(s, on=[on, "_salt"], how=how).drop("_salt")

@@ -79,6 +79,22 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         assert s.sum_value == pytest.approx(d.s, rel=1e-12)
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from real_big_data_project_spark.operators.skew import salted_equi_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    )
+    salted = salted_equi_join(ev, dim, on="user_id",
+                              big_row_unique="event_id", n_salts=8)
+    plain = ev.join(dim, on="user_id")
+    s = sorted(salted.select("event_id", "n_ev").collect())
+    p = sorted(plain.select("event_id", "n_ev").collect())
+    assert s == p and len(s) > 0
+
+
 def test_approx_distinct_within_tolerance(qmap, spark, sf_dir):
     row = qmap["q_approx_distinct"](spark, sf_dir).collect()[0]
     assert abs(row.approx_users - row.exact_users) <= max(1, 0.05 * row.exact_users)
