@@ -1,0 +1,50 @@
+"""The tab-3 SQL surface beyond SELECT (SURVEY §2.10 Q1 DML branch +
+§2.1 S9 DDL executor): the reference's execute_query routes non-SELECT
+statements to the database and reports rowcounts
+(dashboard/timescaledb_model.py:655-690). The Spark restatement is
+spark.sql DDL/DML against managed tables in the session warehouse."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def table(spark):
+    name = "sql_surface_scratch"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ddl_insert_select_roundtrip(spark, table):
+    spark.sql(f"CREATE TABLE {table} (cid INT, value DOUBLE) USING parquet")
+    spark.sql(f"INSERT INTO {table} VALUES (1, 10.5), (2, 20.0)")
+    spark.sql(f"INSERT INTO {table} SELECT 3, 30.25")
+    rows = spark.sql(f"SELECT * FROM {table} ORDER BY cid").collect()
+    assert [(r.cid, r.value) for r in rows] == [(1, 10.5), (2, 20.0), (3, 30.25)]
+    # catalog sees it; DESCRIBE works (the diagnostics surface)
+    cols = {r.col_name for r in spark.sql(f"DESCRIBE TABLE {table}").collect()}
+    assert {"cid", "value"} <= cols
+
+
+def test_insert_overwrite_is_the_update_analogue(spark, table):
+    """The reference's UPDATE/DELETE statements map to filtered
+    INSERT OVERWRITE rewrites in Spark SQL (SURVEY §2.2 P8/P9)."""
+    spark.sql(f"CREATE TABLE {table} (cid INT, value DOUBLE) USING parquet")
+    spark.sql(f"INSERT INTO {table} VALUES (1, -5.0), (2, 20.0), (3, 0.0)")
+    # Spark (correctly) refuses to overwrite a table it is reading in the
+    # same statement — the rewrite stages through a scratch table first.
+    staging = f"{table}_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    try:
+        spark.sql(f"""
+            CREATE TABLE {staging} USING parquet AS
+            SELECT cid, CASE WHEN value < 0 THEN 0.0 ELSE value END AS value
+            FROM {table} WHERE value IS NOT NULL
+        """)
+        spark.sql(f"INSERT OVERWRITE {table} SELECT * FROM {staging}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    rows = {r.cid: r.value for r in spark.sql(f"SELECT * FROM {table}").collect()}
+    assert rows == {1: 0.0, 2: 20.0, 3: 0.0}
