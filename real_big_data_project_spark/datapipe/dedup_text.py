@@ -41,11 +41,51 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) rows — distinct n-word grams, built codegen-side.
+
+    posexplode tokens → window lead(n-1) per doc → concat: every step is
+    whole-stage-codegen'd; the HOF `transform(sequence, slice, join)`
+    formulation in functions/hashing.py::word_shingles computes the same
+    set but interpreted (~300 lambda evals per doc — it dominated the
+    dedup queries at sf0.1). Docs shorter than n tokens contribute their
+    full normalized text as the single shingle, exactly like
+    word_shingles (equality pinned by tests/test_datapipe.py).
+    """
+    from pyspark.sql import Window
+
+    toks = normalized_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+    )
+    pos = base.select(
+        "doc_id", "_toks", F.size("_toks").alias("_k"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    grams = (
+        pos.withColumn("_g", F.concat_ws(" ", *leads))
+        .withColumn("_last", leads[-1])
+        .filter((F.col("_k") < n) & (F.col("_pos") == 0)  # short-doc fallback
+                | F.col("_last").isNotNull())
+        .withColumn(
+            "shingle",
+            F.when(F.col("_k") < n,
+                   F.array_join(F.col("_toks"), " ")).otherwise(F.col("_g")),
+        )
+    )
+    return grams.select("doc_id", "shingle").distinct()
+
+
 def shingle_sets(docs: DataFrame, n: int, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, n).alias("shingles"),
+    return (
+        exploded_shingles(docs, n, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
     )
 
 
@@ -68,9 +108,8 @@ def minhash_components(docs: DataFrame, n_shingle: int = 3,
     way: each md5 yields 4 independent 32-bit components (disjoint
     8-hex-char slices), so 8 components cost 2 md5 calls per shingle.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
+    sh = exploded_shingles(docs, n_shingle, id_col, text_col).select(
+        "doc_id", F.col("shingle").alias("s")
     )
     hashed = sh.select(
         "doc_id",
@@ -256,6 +295,11 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     interpreted and was ~10× slower."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_grams = F.greatest(F.length("_norm") - (WINNOW_GRAM_CHARS - 1), F.lit(1))
+    # The gram array IS built by an interpreted transform, but that is the
+    # right trade here: exploding bare positions instead would replicate
+    # the full document string into every one of its ~n_chars rows
+    # (measured 2.5× slower). The md5 + sample predicate — the actual hot
+    # path — runs codegen'd after the explode.
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("_norm"),

@@ -61,6 +61,26 @@ def test_jaccard_verification_bounds(docs, corpus):
     assert exact <= ones
 
 
+def test_exploded_shingles_match_reference_column_impl(corpus):
+    """The window-lead shingle construction (fast path) must produce the
+    exact shingle SETS of the HOF reference word_shingles — the oracle SQL
+    is written against the latter's definition."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.functions.hashing import word_shingles
+
+    fast = {
+        r.doc_id: set(r.shingles)
+        for r in DT.shingle_sets(corpus, 3).collect()
+    }
+    ref = {
+        r.doc_id: set(r.sh)
+        for r in corpus.select(
+            "doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert fast == ref
+
+
 def test_simhash_df_impl_matches_reference_column_impl(docs):
     """The explode/aggregate SimHash (fast path) must produce the exact
     fingerprint of the HOF reference implementation — the oracle SQL is
