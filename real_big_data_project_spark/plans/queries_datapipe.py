@@ -454,6 +454,100 @@ def q_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+@register(
+    "q_doc_chunking",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    """,
+    description="Document chunking for training pipelines: overlapping "
+                f"{CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens "
+                "(explode chunk starts, slice the token array — one row "
+                "per chunk, still distributed); chunks identified by md5 "
+                "so the gate compares content, not payload bulk.",
+    tags=("datapipe",),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import normalized_tokens
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), normalized_tokens("text").alias("t"))
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "q_repetition_filter",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             greatest(len(t) - 1, 1) AS total_bigrams,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS distinct_bigrams
+      FROM toks
+    )
+    SELECT doc_id, CAST(total_bigrams AS BIGINT) AS total_bigrams,
+           CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams AS rep_ratio,
+           (1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams) > 0.8 AS is_repetitive
+    FROM grams
+    """,
+    description="Repetition-based quality filter (the Gopher-style "
+                "duplicate-n-gram signal): per doc, 1 − distinct/total "
+                "bigrams; integer-ratio arithmetic so the oracle is "
+                "bit-exact. Flags boilerplate/spam docs for removal.",
+    tags=("datapipe",),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.dedup_text import exploded_shingles
+    from ..functions.hashing import normalized_tokens
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    totals = docs.select(
+        "doc_id",
+        F.greatest(F.size(normalized_tokens("text")) - 1, F.lit(1))
+        .cast("long").alias("total_bigrams"),
+    )
+    distinct = (
+        exploded_shingles(docs, 2)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("distinct_bigrams"))
+    )
+    ratio = 1.0 - F.col("distinct_bigrams").cast("double") / F.col("total_bigrams")
+    return (
+        totals.join(distinct, "doc_id")
+        .select(
+            "doc_id", "total_bigrams", "distinct_bigrams",
+            ratio.alias("rep_ratio"),
+            (ratio > 0.8).alias("is_repetitive"),
+        )
+    )
+
+
 _SQL_QUALITY = r"""
       (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
             AND length(trim(text)) != 0 THEN 0.4 ELSE 0.0 END)
