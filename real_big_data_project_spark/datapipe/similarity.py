@@ -102,6 +102,77 @@ def ann_bucket_topk(
     return _topk_per_query(scored, k)
 
 
+CENTROID_ROUND = 6
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """(label, centroid) — elementwise mean of each inverted list's
+    members. `list_col` is the offline cluster assignment (IVF lists are
+    built by an offline k-means; the synthetic `label` column plays that
+    role). Dims exploded → one codegen'd avg aggregate → array rebuilt in
+    dim order. Centroids are ROUNDED so the probe-selection argmax is
+    reproducible across engines."""
+    vecs = emb.select(F.col(id_col), F.col(list_col).alias("label"),
+                      as_double(vec_col).alias("v"))
+    dims = vecs.select(
+        "label", F.posexplode("v").alias("dim", "val")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), CENTROID_ROUND).alias("cval")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("_dc"))
+        .select("label", F.transform("_dc", lambda x: x["cval"]).alias("centroid"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: each query picks its nearest centroid (n_probe=1) and
+    scans ONLY that inverted list — work per query is |corpus|/n_lists.
+    Probe selection is a total ordering (rounded sim DESC, label ASC);
+    final ranking reuses the shared top-k contract."""
+    vecs = emb.select(F.col(id_col), F.col(list_col).alias("label"),
+                      as_double(vec_col).alias("v"))
+    cents = ivf_centroids(emb, id_col, vec_col, list_col)
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("probe_label"))
+    )
+    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    scored = (
+        vecs.join(
+            F.broadcast(probes),
+            (F.col("label") == F.col("probe_label"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    )
+    return _topk_per_query(scored, k)
+
+
 def with_perturbed_copies(
     emb: DataFrame,
     eps: float = PERTURB_EPS,

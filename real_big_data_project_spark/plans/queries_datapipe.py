@@ -712,6 +712,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH {SQL_VECS},
+    lv AS (
+      SELECT vec_id, label, v FROM embeddings e
+      JOIN vecs USING (vec_id)
+    ),
+    cents AS (
+      SELECT label,
+             list(cval ORDER BY dim) AS centroid
+      FROM (
+        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM lv WHERE vec_id IN ({_IDS_SQL})),
+    probes AS (
+      SELECT query_id, qv, label AS probe_label
+      FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_sql_cosine('q.qv', 'c.centroid')}, 5) DESC,
+                          c.label ASC) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, lv.vec_id AS neighbor_id,
+             round({_sql_cosine('p.qv', 'lv.v')}, 5) AS sim
+      FROM lv JOIN probes p
+        ON lv.label = p.probe_label AND lv.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM ranked WHERE rank <= 5
+    """,
+    description="IVF ANN: inverted lists from the offline cluster "
+                "assignment (label), computed+rounded centroids, each "
+                "query probes only its nearest list (n_probe=1) — work "
+                "per query is |corpus|/n_lists; the data-driven "
+                "counterpart to the sign-LSH cells.",
+    tags=("datapipe",),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_ivf_topk(emb, ANN_QUERY_IDS, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )
+
+
+@register(
     "q_dedup_embedding",
     oracle=f"""
     WITH {SQL_VECS},
