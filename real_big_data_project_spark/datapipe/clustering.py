@@ -1,0 +1,100 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The iterative workhorse behind IVF list construction, corpus bucketing,
+and diversity sampling — the one genuinely iterative algorithm in the
+engine's similarity family (similarity.py::ivf_centroids consumes an
+OFFLINE assignment; this produces one).
+
+Determinism contract (what makes an iterative float algorithm
+oracle-checkable across engines):
+  * seeds = the k vectors with the smallest ids (no RNG);
+  * assignment = argmin of the squared L2 distance ROUNDED to
+    `DIST_ROUND` dp, ties broken by cluster index — a total ordering;
+  * centroid update = per-dimension mean ROUNDED to `CENTROID_ROUND` dp
+    (the same convention as similarity.py::ivf_centroids), so the next
+    iteration's inputs are bit-identical in both engines regardless of
+    their float-summation order.
+
+Scale shape: centroids are k×dim (tiny) and are BROADCAST to the
+assignment pass — a map-only pass over the corpus, no corpus shuffle.
+The update pass explodes dimensions and runs ONE codegen'd avg aggregate
+(map-side partials). Per-iteration cost: one broadcast + one shuffle of
+k×dim aggregates, corpus touched twice. The per-vector distance loop is a
+HOF over a bounded 64-dim array — the case where HOFs are fine
+(PERF_NOTES.md rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import CENTROID_ROUND, as_double
+
+DIST_ROUND = 5
+
+
+def _sq_l2(a: str, b: str) -> F.Column:
+    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster, dist): nearest centroid per vector — broadcast
+    cross join (k rows per vector), rounded-distance argmin, cluster-index
+    tiebreak."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", F.round(_sq_l2("v", "c"), DIST_ROUND))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "cluster", "dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cluster, c): per-dimension mean of the members, rounded — dims
+    exploded into one hash aggregate, arrays rebuilt in dim order."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val"), CENTROID_ROUND).alias("cval"))
+    )
+    return (
+        per_dim.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("_dc"))
+        .select("cluster", F.transform("_dc", lambda x: x["cval"]).alias("c"))
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run Lloyd's k-means and return the final assignment
+    (vec_id, cluster, dist). `n_assign` assignment passes with
+    `n_assign - 1` centroid updates between them.
+
+    Seeding from the k smallest-id vectors guarantees no cluster starts
+    empty (each seed is at distance 0 from its own centroid), so neither
+    engine needs an empty-cluster repair rule.
+    """
+    vecs = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    seeds = vecs.orderBy("vec_id").limit(k)  # TakeOrdered — distributed
+    sw = Window.orderBy("vec_id")  # k rows only: the global window is safe
+    cents = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
+        "cluster", F.col("v").alias("c")
+    )
+    assigned = _assign(vecs, cents)
+    for _ in range(n_assign - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )

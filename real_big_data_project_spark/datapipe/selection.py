@@ -1,0 +1,133 @@
+"""Training-data selection: deterministic sampling, mixture rebalancing,
+and PII scrubbing.
+
+All randomness is hash-derived (md5 of the row id with a purpose salt), so
+every operator is (a) reproducible across runs/partitionings/engines —
+re-running selection on the same corpus yields the same sample, which is
+what makes training mixes auditable — and (b) oracle-checkable bit-for-bit
+in DuckDB.
+
+The uniform-in-[0,1) draw is the first 8 hex chars of the md5, COMPARED AS
+A STRING against a fixed-width hex threshold: 8-char lowercase hex compares
+lexicographically exactly as its numeric value, and string comparison
+behaves identically in Spark and DuckDB — no hex→int conversion dialect to
+keep in sync.
+
+Scale shape: sampling and scrubbing are map-only (no shuffle at all);
+mixture take-N shuffles once on the stratum key and its window never
+materializes more than a partition's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Fraction in [0,1] → 8-char lowercase hex threshold such that
+    P[substr(md5(x),1,8) < threshold] = rate for a uniform hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate out of [0,1]: {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def _sample_key(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a deterministic hash draw:
+    keep a row iff hex(md5(salt:id))[:8] < threshold(stratum).
+
+    Unlike df.sample(), membership is a pure function of the row id — no
+    seed plumbing, no partitioning sensitivity, stable under reruns and
+    appends (a row's fate never changes when other rows arrive). Map-only."""
+    thr = None
+    for s, r in sorted(rates.items()):
+        lit_thr = F.lit(rate_to_hex_threshold(r))
+        cond = F.col(stratum_col) == s
+        thr = F.when(cond, lit_thr) if thr is None else thr.when(cond, lit_thr)
+    thr = (
+        thr.otherwise(F.lit(rate_to_hex_threshold(default_rate)))
+        if thr is not None
+        else F.lit(rate_to_hex_threshold(default_rate))
+    )
+    return df.withColumn("sample_key", _sample_key(id_col, salt)).filter(
+        F.col("sample_key") < thr
+    )
+
+
+def mixture_take(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    default_quota: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mix rebalancing: take at most quota(stratum) rows per
+    stratum, chosen in hash order (a deterministic pseudo-random shuffle;
+    id tiebreak makes the ordering total). Strata smaller than their quota
+    contribute everything.
+
+    One shuffle on the stratum key; rank N is assigned without sorting the
+    whole table (window per stratum). At extreme stratum skew, pre-filter
+    with stratified_hash_sample at ~quota/|stratum| to cap the window
+    input, then take-N exactly."""
+    key = _sample_key(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(F.col("mix_key"), F.col(id_col))
+    quota = None
+    for s, q in sorted(quotas.items()):
+        cond = F.col(stratum_col) == s
+        quota = F.when(cond, q) if quota is None else quota.when(cond, q)
+    quota = quota.otherwise(default_quota) if quota is not None else F.lit(default_quota)
+    return (
+        df.withColumn("mix_key", key)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= quota)
+        .drop("mix_key")
+    )
+
+
+# PII patterns — deliberately restricted to syntax portable between Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repetition, \b.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+
+_PII = (
+    (EMAIL_PATTERN, "<EMAIL>", "n_emails"),
+    (IPV4_PATTERN, "<IP>", "n_ips"),
+    (PHONE_PATTERN, "<PHONE>", "n_phones"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers from
+    `text_col`, adding per-kind match counts and the scrubbed text.
+
+    Replacement order matters (an email's domain must not be re-matched as
+    something else), so counts are taken on the original text and
+    replacements apply sequentially. Map-only, expression-only: the whole
+    scrub runs inside whole-stage codegen — this is a full-corpus pass at
+    scale and must never drop to Python."""
+    out = df
+    scrubbed = F.col(text_col)
+    for pattern, token, count_alias in _PII:
+        out = out.withColumn(
+            count_alias,
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+            .cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return out.withColumn("scrubbed", scrubbed)

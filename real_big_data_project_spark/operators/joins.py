@@ -149,6 +149,53 @@ def asof_join_backward(
     return out.drop("_carried")
 
 
+def interval_join_binned(
+    probe: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Containment join — probe rows whose `ts` falls in [start, end] of an
+    interval — WITHOUT an equi key (the case Spark plans as a cartesian
+    BroadcastNestedLoopJoin, which dies when neither side is small).
+
+    Bin-bucketing restatement: explode every interval into the day bins it
+    covers; bin the probe timestamp; EQUI-join on the bin; keep the exact
+    BETWEEN predicate as a post-filter. Each probe row lands in exactly one
+    bin and an interval is present in every bin it spans, so each
+    qualifying (probe, interval) pair matches exactly once — no dedup
+    needed.
+
+    Scale shape: one hash shuffle on the bin key instead of |probe| ×
+    |intervals| comparisons; interval replication = interval length in
+    days (bounded, known up front). Bin-key skew (a hot day) is AQE
+    skew-split territory. With `broadcast_intervals` the shuffle
+    disappears entirely — right for dimension-sized interval sets.
+    DuckDB's IEJoin answers the same query directly, which makes this
+    oracle-checkable.
+    """
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", F.col(start)),
+                F.date_trunc("DAY", F.col(end)),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        binned_iv = F.broadcast(binned_iv)
+    binned_probe = probe.withColumn("_bin", F.date_trunc("DAY", F.col(ts)))
+    return (
+        binned_probe.join(binned_iv, on="_bin", how="inner")
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("_bin")
+    )
+
+
 def resolve_identity(
     incoming: DataFrame,
     existing: DataFrame,

