@@ -46,6 +46,28 @@ def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_streaming_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    """,
+    description="Streaming dedup (exactly-once over at-least-once "
+                "delivery): a landing dir holding every event file TWICE "
+                "is drained through dropDuplicatesWithinWatermark on the "
+                "event key — first arrival wins, state bounded by the "
+                "watermark horizon. Draining must reproduce the "
+                "non-duplicated events table exactly, so the oracle is a "
+                "plain SELECT from it.",
+    tags=("streaming",),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import run_streaming_dedup
+
+    out = run_streaming_dedup(spark, sf_dir)
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
     "q_streaming_stateful_pct",
     oracle="""
     SELECT event_id, user_id, ts, value,

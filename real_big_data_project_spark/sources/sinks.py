@@ -45,3 +45,28 @@ def write_time_partitioned(
 def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Scan back; date predicates on PARTITION_COL prune directories."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed parquet table hash-bucketed on `key` (optionally
+    sorted within buckets).
+
+    Bucketing is the join-side half of the scale story that partitioning
+    (time pruning) doesn't cover: two tables bucketed on the same key with
+    the same bucket count join WITHOUT any Exchange — the shuffle is paid
+    once at write time, then every subsequent co-located join, and every
+    aggregation keyed on `key`, reads pre-distributed data. At 100 TB the
+    repeated fact⋈fact shuffle is the single biggest cost a layout choice
+    can delete (tests/test_sinks.py asserts the Exchange-free plan).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,90 @@
+"""Streaming deduplication: exactly-once semantics over an at-least-once
+feed.
+
+The reference assumes its scraper never re-delivers a snapshot file; a
+real landing zone re-delivers constantly (retries, backfills, double
+uploads). `dropDuplicatesWithinWatermark` on the event key makes ingestion
+idempotent: the first arrival wins, re-deliveries within the watermark
+horizon are dropped, and state is evicted as the watermark advances — so
+dedup state is bounded by (arrival rate × watermark), not by history.
+
+Locally the harness PLANTS the duplication: the landing directory holds
+every event file twice, and draining it must yield each event exactly
+once — which is why the DuckDB oracle for the catalog entry is simply
+`SELECT ... FROM events` (the non-duplicated table).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ohlcv_stream import EVENTS_RAW_SCHEMA
+
+_sink_ids = itertools.count()
+
+_ARTIFACTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "_artifacts",
+)
+
+
+def duplicated_landing_dir(sf_dir: str) -> str:
+    """A landing directory holding the events file TWICE (idempotently
+    built under _artifacts/) — the at-least-once delivery fixture."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_ARTIFACTS, f"dedup_landing_{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(out, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        dst = os.path.join(out, name)
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    return out
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        watermark: str = "3650 days") -> DataFrame:
+    """Drain the doubled landing dir with availableNow through
+    dropDuplicatesWithinWatermark(event_id) into a memory sink; returns
+    each event exactly once.
+
+    The wide local watermark keeps every key's state live for the whole
+    drain (nothing is ever legitimately late here); production tightens
+    it to the real re-delivery horizon to bound state.
+    """
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    landing = duplicated_landing_dir(sf_dir)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedup_stream_sink_{next(_sink_ids)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    # recover the engine's session-tz-independent NTZ timestamps
+    return out.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, unix_micros(ts),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )

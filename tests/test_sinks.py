@@ -43,3 +43,31 @@ def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir):
     assert "PartitionFilters" in plan and one_day in plan
     expected = ev.filter(F.col("date").cast("date") == one_day).count()
     assert q.count() == expected
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """X-series scale feature: same-key same-count bucketed tables must
+    sort-merge join with NO Exchange on either side (the write-once
+    shuffle replaces every join-time shuffle)."""
+    from real_big_data_project_spark.sources.sinks import write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    write_bucketed(ev.select("event_id", "user_id", "value"),
+                   "bkt_events", "user_id", n_buckets=8,
+                   sort_cols=["user_id"])
+    write_bucketed(
+        ev.groupBy("user_id").agg(F.count("*").alias("n_events")),
+        "bkt_users", "user_id", n_buckets=8, sort_cols=["user_id"])
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_events").join(spark.table("bkt_users"), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_events")
+        spark.sql("DROP TABLE IF EXISTS bkt_users")
