@@ -179,6 +179,42 @@ def compress_stocks(stocks: DataFrame, tiebreak: str | None = None) -> DataFrame
                             tiebreak=tiebreak)
 
 
+def incremental_daystocks(
+    prior_bars: DataFrame,
+    stocks: DataFrame,
+    new_ticks: DataFrame,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Incremental bar maintenance when late/new ticks arrive (the
+    reference re-runs whole days imperatively on its day-rollover,
+    etl/etl.py:672-676; at 100 TB you can afford to recompute only what
+    changed):
+
+      1. affected = distinct (cid, day) of the new ticks — tiny;
+      2. recompute bars for ONLY those groups (semi-join of the fact
+         table against the broadcast affected list; with the fact table
+         date-partitioned this triggers dynamic partition pruning, so
+         untouched days are never even read);
+      3. merged = prior bars minus affected ∪ recomputed.
+
+    Equivalent to a full rebuild by construction (OHLCV is per-(cid,day)
+    independent — property-tested in tests/test_pipeline.py), but the
+    work is proportional to the *changed* days, not history.
+    """
+    day = F.col("date").cast("date")
+    affected = new_ticks.select(F.col("cid"), day.alias("_day")).distinct()
+    relevant = (
+        stocks.withColumn("_day", day)
+        .join(F.broadcast(affected), on=["cid", "_day"], how="left_semi")
+        .drop("_day")
+    )
+    recomputed = build_daystocks(relevant, tiebreak=tiebreak)
+    kept = prior_bars.withColumn("_day", F.col("date")).join(
+        F.broadcast(affected), on=["cid", "_day"], how="left_anti"
+    ).drop("_day")
+    return kept.unionByName(recomputed)
+
+
 def files_to_process(discovered: DataFrame, ledger: DataFrame | None) -> DataFrame:
     """Ingestion ledger (the `file_done` table,
     etl/timescaledb_model.py:277): keep only discovered file names not

@@ -1114,6 +1114,63 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE over (returnflag, linestatus): all 4 grouping sets "
+                "in one shuffle (map-side grouping-sets expansion) — the "
+                "cross-dimensional complement of q_rollup's hierarchy; "
+                "coalesce-to-'ALL' is safe because the columns are "
+                "non-null.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items", "total_qty",
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS INT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    description="Fixed-width histogram of the tick values (floor-bucketed "
+                "— floor on both engines because CAST(double AS INT) "
+                "rounds in DuckDB but truncates in Spark): the one-pass "
+                "distribution profile a quality dashboard needs; "
+                "map-side partial aggregation, one shuffle of ~#buckets "
+                "rows.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("value"), 2).alias("lo"),
+             F.round(F.max("value"), 2).alias("hi"))
+    )
+
+
+@register(
     "q_pivot_wide",
     oracle="""
     SELECT user_id,

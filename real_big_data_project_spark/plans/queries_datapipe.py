@@ -771,6 +771,64 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["data", "join", "stream"]
+
+
+def _sql_bm25() -> str:
+    from ..datapipe import ranking as RK
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = RK.BM25_K1, RK.BM25_B
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, round(avg(dl), {RK.AVGDL_ROUND}) AS avgdl
+              FROM lens),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             round(ln((stats.n - df + 0.5) / (df + 0.5) + 1), {RK.IDF_ROUND})
+               AS idf
+      FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats
+    ),
+    per_term AS (
+      SELECT tf.doc_id,
+             idf.idf * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * lens.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN idf USING (term)
+      JOIN lens USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), {RK.SCORE_ROUND}) AS bm25
+    FROM per_term GROUP BY doc_id
+    """
+
+
+@register(
+    "q_bm25",
+    oracle=_sql_bm25(),
+    description="BM25 lexical relevance over the corpus for a fixed query "
+                "term set: exploded tokens filtered to the (broadcast) "
+                "query terms FIRST, so tf/df/idf are tiny and the only "
+                "full-corpus pass is one explode+filter. avgdl/idf/score "
+                "rounded per the cross-engine float discipline; the "
+                "full-corpus index build is the same pipeline minus the "
+                "term filter.",
+    tags=("datapipe",),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import bm25_scores
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_TERMS)
+
+
 KMEANS_K = 4
 
 

@@ -249,3 +249,41 @@ def test_kmeans_assignment_invariants(spark, sf_dir):
     assert len(out) == n_vec
     assert {r.cluster for r in out} == {0, 1, 2, 3}
     assert all(r.dist >= 0 for r in out)
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+
+    from real_big_data_project_spark.datapipe.ranking import (
+        AVGDL_ROUND, BM25_B, BM25_K1, IDF_ROUND, SCORE_ROUND, bm25_scores,
+    )
+
+    corpus = {
+        1: "data join data stream fast",
+        2: "data only here",
+        3: "nothing relevant at all whatsoever",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["data", "join"]).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = round(sum(len(t) for t in toks.values()) / n, AVGDL_ROUND)
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in ("data", "join")
+    }
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in ("data", "join"):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = round(math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1),
+                        IDF_ROUND)
+            s += (idf * tf * (BM25_K1 + 1)
+                  / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(t) / avgdl)))
+        if s:
+            want[d] = round(s, SCORE_ROUND)
+    assert got == want
+    assert got[1] > got[2]  # more matching terms → higher score

@@ -168,3 +168,29 @@ def test_compression_threshold_monotonicity(spark, sf_dir):
     tight_ids = {r.event_id for r in tight.select("event_id").collect()}
     loose_ids = {r.event_id for r in loose.select("event_id").collect()}
     assert loose_ids <= tight_ids
+
+
+def test_incremental_daystocks_equals_full_rebuild(spark, sf_dir):
+    """Late ticks: recomputing only the affected (cid, day) groups must be
+    indistinguishable from a full rebuild (bit-for-bit, incl. float std)."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.pipeline import (
+        build_daystocks, incremental_daystocks,
+    )
+    from real_big_data_project_spark.plans.oracle_check import compare
+    from real_big_data_project_spark.sources.registry import events_with_volume
+
+    ev = events_with_volume(spark, sf_dir).select(
+        F.col("ts").alias("date"), F.col("user_id").alias("cid"),
+        "value", "volume", "event_id",
+    )
+    late = ev.filter(F.col("event_id") % 10 == 0)
+    early = ev.filter(F.col("event_id") % 10 != 0)
+
+    full = build_daystocks(ev, tiebreak="event_id")
+    prior = build_daystocks(early, tiebreak="event_id")
+    incr = incremental_daystocks(prior, ev, late, tiebreak="event_id")
+
+    res = compare("incremental_daystocks", incr, full.toPandas())
+    assert res.ok and res.values_bit_equal, res.detail
