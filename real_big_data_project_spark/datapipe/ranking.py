@@ -86,3 +86,38 @@ def bm25_scores(
     return per_term.groupBy("doc_id").agg(
         F.round(F.sum("s"), SCORE_ROUND).alias("bm25")
     )
+
+
+SURPRISAL_ROUND = 5
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_surprisal): per-doc mean of −ln p(t) under
+    the corpus unigram model — the cheapest perplexity-style quality
+    signal (the shape of a 1-gram LM filter in a pretraining pipeline).
+    High values = rare-token soup (garbled text, codes); low = stopword
+    mush; both tails are filter candidates.
+
+    Per-token surprisal is a pure function of two integers (term count,
+    corpus total), so it is bit-identical across engines; only the
+    per-doc mean is rounded. Shape: one explode pass, a term-frequency
+    aggregate, a broadcast-able frequency join, one per-doc aggregate.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(normalized_tokens(text_col)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("n_t"))
+    total = freq.agg(F.sum("n_t").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("n_t") / F.col("total"))).alias("surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("surprisal"), SURPRISAL_ROUND).alias("mean_surprisal"),
+    )

@@ -1114,6 +1114,215 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Semi-structured extraction: pull a typed field out of the "
+                "JSON props column (get_json_object — JVM-side Jackson "
+                "path eval, no Python) and aggregate it; the "
+                "schema-on-read surface every event pipeline needs. For "
+                "hot paths at scale, from_json to a struct column once "
+                "and reuse.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    description="Markov transition counts over per-user event sequences "
+                "(lag over the series window, then one global count "
+                "aggregate) — the sequence-mining primitive behind funnel "
+                "and session-flow analysis; one shuffle on the series key "
+                "+ one tiny aggregate.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = R.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, p.probe_name, c.c_name,
+             levenshtein(p.probe_name, c.c_name) AS distance
+      FROM probes p CROSS JOIN customer c
+      WHERE levenshtein(p.probe_name, c.c_name) <= 2
+    )
+    SELECT probe_id, probe_name, c_name AS matched_name,
+           CAST(distance AS INT) AS distance
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY distance ASC, c_name ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    description="Fuzzy entity matching (the reference's symbol/name "
+                "reconciliation, done properly): deletion-mangled probe "
+                "names matched against the dimension by Levenshtein ≤ 2, "
+                "best match per probe under a total (distance, name) "
+                "ordering. Probe side broadcast (BNLJ) — at real scale, "
+                "block first (prefix/phonetic key) to bound the pair "
+                "count.",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = R.load_table(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(F.substring("c_name", 1, 9),
+                 F.expr("substring(c_name, 11)")).alias("probe_name"),
+    )
+    dist = F.levenshtein("probe_name", "c_name")
+    scored = (
+        cust.select("c_name")
+        .crossJoin(F.broadcast(probes))
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= 2)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("distance").asc(), F.col("c_name").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "probe_name", F.col("c_name").alias("matched_name"),
+                F.col("distance").cast("int").alias("distance"))
+    )
+
+
+@register(
+    "q_customer_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    description="Multi-way star join (TPC-H Q10 shape): lineitem ⋈ orders "
+                "⋈ customer ⋈ nation with a selective fact filter, grouped "
+                "revenue, total-ordered top 20. Exercises Catalyst join "
+                "ordering + AQE: nation broadcasts, the fact-side joins "
+                "shuffle on their keys, the filter pushes to the lineitem "
+                "scan.",
+)
+def q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    nation = R.load_table(spark, sf_dir, "nation")
+    orders = R.load_table(spark, sf_dir, "orders")
+    li = R.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary over the lineitem fact: the "
+                "canonical one-shuffle map-side-partial aggregation "
+                "benchmark shape; ship-date predicate reaches the parquet "
+                "scan (row-group skipping), every sum/avg rounded for "
+                "cross-engine summation-order parity.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
     "q_cube",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

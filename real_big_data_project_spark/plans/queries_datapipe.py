@@ -829,6 +829,38 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, BM25_TERMS)
 
 
+@register(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS term
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    ),
+    freq AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+    total AS (SELECT sum(n_t) AS total FROM freq),
+    scored AS (
+      SELECT doc_id, -ln(n_t / total.total) AS surprisal
+      FROM toks JOIN freq USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(surprisal), 5) AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+    description="Unigram-LM surprisal per doc (the 1-gram perplexity "
+                "quality signal): corpus term frequencies joined back to "
+                "the token stream (vocabulary ≪ corpus → broadcast), "
+                "per-token −ln p(t) exact in integers, per-doc mean "
+                "rounded. Both tails (rare-token soup / stopword mush) "
+                "are filter candidates.",
+    tags=("datapipe",),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import unigram_surprisal
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
 KMEANS_K = 4
 
 

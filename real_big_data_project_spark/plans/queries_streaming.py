@@ -68,6 +68,41 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_streaming_sessions",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gapped
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    description="Streaming session windows (session_window + watermark): "
+                "state = live sessions only, evicted on finalize; the "
+                "complete-mode availableNow drain must equal the batch "
+                "gap-sessionization (same oracle shape as q_sessionize) — "
+                "the stateful-merge counterpart of the batch lag+cumsum.",
+    tags=("streaming",),
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessions import run_streaming_sessions
+
+    out = run_streaming_sessions(spark, sf_dir)
+    return out.select("user_id", "n_events", "session_start", "session_end")
+
+
+@register(
     "q_streaming_stateful_pct",
     oracle="""
     SELECT event_id, user_id, ts, value,

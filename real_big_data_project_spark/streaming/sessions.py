@@ -1,0 +1,70 @@
+"""Streaming session windows: the stateful counterpart of the batch
+gap-sessionization (plans/queries_core.py::q_sessionize).
+
+`session_window(ts, gap)` keeps one open-window state row per live
+(user, session); events extend the window while they arrive within `gap`
+of its end, and the watermark finalizes and evicts closed sessions — so
+state is proportional to *concurrently live* sessions, not history. The
+batch lag+running-sum formulation and the streaming merge semantics agree
+whenever no two consecutive events sit EXACTLY `gap` apart (batch `>`
+keeps them together, streaming strict-`<` splits); the local drain is
+oracle-checked against the batch SQL, which pins that equivalence on the
+test feed.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ohlcv_stream import read_events_stream
+
+_sink_ids = itertools.count()
+
+_NTZ = (
+    "timestampadd(MICROSECOND, unix_micros({c}),"
+    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Drain the events feed through a session-window aggregation
+    (complete mode + availableNow locally, so unfinalized sessions are
+    emitted too and the result equals the batch sessionization)."""
+    ticks = read_events_stream(spark, sf_dir)
+    sess = (
+        ticks.withWatermark("ts", "0 seconds")
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    name = f"session_stream_sink_{next(_sink_ids)}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    # recover session-tz-independent NTZ bounds (first/last event, not the
+    # gap-padded window end)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.expr(_NTZ.format(c="first_ts")).alias("session_start"),
+        F.expr(_NTZ.format(c="last_ts")).alias("session_end"),
+    )

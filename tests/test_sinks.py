@@ -71,3 +71,64 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_events")
         spark.sql("DROP TABLE IF EXISTS bkt_users")
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink per-row-group min/max extents on
+    BOTH columns (multi-dim data skipping), where a linear sort leaves
+    the second column's extent near the full range. Measured from real
+    parquet footers. Also pins the Morton interleave against a pure
+    python reference."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.operators.layout import (
+        write_zordered, zorder_key_2d,
+    )
+
+    samples = [(0, 0), (1, 0), (0, 1), (5, 3), (255, 490), (99, 255)]
+    got = spark.range(1).select(
+        *[zorder_key_2d(F.lit(x), F.lit(y), 9).alias(f"z{i}")
+          for i, (x, y) in enumerate(samples)]
+    ).collect()[0]
+
+    def ref(x, y, bits=9):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert list(got) == [ref(x, y) for x, y in samples]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("int").alias("x"),
+        F.floor("value").cast("int").alias("y"),
+    )
+    xr = ev.agg(F.max("x") - F.min("x")).collect()[0][0]
+    yr = ev.agg(F.max("y") - F.min("y")).collect()[0][0]
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zordered(ev, zdir, "x", "y", bits=9, n_files=16)
+    (ev.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(ldir))
+
+    def extents(d):
+        ex, ey = [], []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {row.column(i).path_in_schema: row.column(i).statistics
+                      for i in range(row.num_columns)}
+                ex.append(st["x"].max - st["x"].min)
+                ey.append(st["y"].max - st["y"].min)
+        return sum(ex) / len(ex), sum(ey) / len(ey)
+
+    zx, zy = extents(zdir)
+    lx, ly = extents(ldir)
+    # z-order bounds BOTH dims to a fraction of their range (min/max
+    # scaling keeps the curve balanced even when ranges are unequal)...
+    assert max(zx / xr, zy / yr) < 0.4, (zx, xr, zy, yr)
+    assert ly > 0.5 * yr, (ly, yr)   # ...while linear sort does not
+    assert zy < 0.5 * ly             # and z-order beats it decisively
