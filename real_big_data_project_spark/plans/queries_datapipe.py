@@ -830,6 +830,42 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pandas_udf_norm",
+    oracle=f"""
+    WITH {SQL_VECS}
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 5) AS l2_norm
+    FROM vecs
+    """,
+    description="Vectorized Arrow path with full oracle parity: an "
+                "embedding L2 norm computed by a numpy-backed pandas_udf "
+                "(Arrow batches, no per-row Python) must match the "
+                "SQL-side fold after rounding — proving the engine's "
+                "Python hot path is both fast-shaped AND "
+                "correctness-gated, not a rows-only escape hatch.",
+    tags=("datapipe",),
+)
+def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # no signature annotations: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint resolver rejects
+    def _l2(vecs):
+        return vecs.map(
+            lambda a: float(np.sqrt(np.dot(np.asarray(a, dtype="float64"),
+                                           np.asarray(a, dtype="float64"))))
+        )
+
+    l2_norm = pandas_udf(_l2, "double")
+
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 5).alias("l2_norm")
+    )
+
+
+@register(
     "q_unigram_surprisal",
     oracle=f"""
     WITH toks AS (
