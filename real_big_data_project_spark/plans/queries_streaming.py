@@ -68,6 +68,27 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_streaming_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.value
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    description="Stream-static enrichment join (the reference's "
+                "cid-stamping under continuous arrival): each micro-batch "
+                "broadcast-joins the static dimension snapshot — "
+                "stateless, no watermark, dim refreshed per batch; the "
+                "drain must equal the batch left join.",
+    tags=("streaming",),
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import run_streaming_enrich
+
+    return run_streaming_enrich(spark, sf_dir).select(
+        "event_id", "user_id", "c_name", "value"
+    )
+
+
+@register(
     "q_streaming_sessions",
     oracle="""
     WITH gapped AS (

@@ -47,6 +47,42 @@ def duplicated_landing_dir(sf_dir: str) -> str:
     return out
 
 
+def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the tick stream LEFT-joined to a static
+    broadcast dimension (the reference's cid-stamping, etl/etl.py:326-328,
+    under continuous arrival). Stream-static joins are stateless — each
+    micro-batch joins against the current dim snapshot, no watermark, no
+    state store — so this is the cheapest streaming operator there is;
+    the static side re-resolves per batch, which is also how slowly-
+    changing dims get picked up mid-stream."""
+    from ..session import ensure_session_confs
+    from ..sources.registry import load_table
+
+    ensure_session_confs(spark)
+    ticks = spark.readStream.schema(EVENTS_RAW_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    enriched = ticks.join(F.broadcast(dim), on="user_id", how="left").select(
+        "event_id", "user_id", "c_name", "value"
+    )
+    name = f"enrich_stream_sink_{next(_sink_ids)}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
                         watermark: str = "3650 days") -> DataFrame:
     """Drain the doubled landing dir with availableNow through

@@ -142,3 +142,29 @@ def test_sampling_is_map_only(qmap, spark, sf_dir):
     plan must contain no Exchange at all."""
     for q in ("q_stratified_sample", "q_pii_scrub"):
         assert "Exchange" not in plan_of(qmap, spark, sf_dir, q), q
+
+
+def test_pricing_summary_single_shuffle_with_pushdown(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_pricing_summary")
+    assert plan.count("Exchange") == 1          # map-side partials, one shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_customer_revenue_broadcasts_the_dim(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_customer_revenue")
+    assert "BroadcastHashJoin" in plan           # nation never shuffles
+    assert "TakeOrderedAndProject" in plan       # top-20 without global sort
+
+
+def test_exists_plans_as_semi_join(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_exists_late_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_before_levenshtein(qmap, spark, sf_dir):
+    """The levenshtein verify must sit on a block-key EQUI join, never a
+    nested-loop over |probes|×|dim| (the 20× regression guard)."""
+    plan = plan_of(qmap, spark, sf_dir, "q_fuzzy_match")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -98,3 +98,46 @@ def test_pct_change_guards(spark, pairs):
             assert r.pc == 0.0
         else:
             assert r.pc == (r.cur - r.prev) / abs(r.prev)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 6)),  # (start_day, len)
+        min_size=1, max_size=8,
+    ),
+    st.lists(st.integers(0, 45), min_size=1, max_size=60),  # probe days
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_binned_equals_naive(spark, intervals, probes):
+    """The binned equi-join restatement must equal the naive cross-join
+    BETWEEN filter on arbitrary interval layouts (overlaps, duplicates,
+    zero-length, containment)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.operators.joins import interval_join_binned
+
+    base = dt.datetime(2020, 1, 1)
+    iv = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + l))
+         for i, (s, l) in enumerate(intervals)],
+        "window_id int, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    pr = spark.createDataFrame(
+        [(j, base + dt.timedelta(days=d, hours=j % 24))
+         for j, d in enumerate(probes)],
+        "probe_id int, ts timestamp_ntz",
+    )
+    got = {
+        (r.probe_id, r.window_id)
+        for r in interval_join_binned(pr, iv, "ts", "w_start", "w_end").collect()
+    }
+    naive = {
+        (r.probe_id, r.window_id)
+        for r in pr.crossJoin(iv)
+        .filter(F.col("ts").between(F.col("w_start"), F.col("w_end")))
+        .collect()
+    }
+    assert got == naive

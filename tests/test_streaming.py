@@ -98,3 +98,45 @@ def test_stateful_pct_change_carries_state_across_microbatches(spark, landing_di
     # row 1 of batch2 for each user must see batch1's tail value — that
     # equality is exactly what GroupState carry-over provides
     assert s == b
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(spark, sf_dir, tmp_path):
+    """Operational exactly-once: restarting a file-source query against the
+    same checkpoint must skip already-committed input files — the property
+    that makes a production landing-dir pipeline restartable without
+    double-ingest."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.streaming.ohlcv_stream import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    landing = tmp_path / "landing"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def drain():
+        raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+               .parquet(str(landing))
+               .select("event_id", "user_id", "value"))
+        q = (raw.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return spark.read.parquet(sink).count()
+
+    n = spark.read.parquet(src).count()
+    shutil.copyfile(src, landing / "events_a.parquet")
+    assert drain() == n
+    # a second drain with NO new input appends nothing...
+    assert drain() == n
+    # ...and a new file is processed exactly once (file A never replays)
+    shutil.copyfile(src, landing / "events_b.parquet")
+    assert drain() == 2 * n
