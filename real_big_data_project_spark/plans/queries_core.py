@@ -1500,6 +1500,227 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_array_ops",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types_csv,
+           CAST(len(list_distinct(list(event_type))) AS INT) AS n_types,
+           CAST(list_contains(list(event_type), 'purchase') AS BOOLEAN)
+             AS has_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Array/collection aggregation surface: per-user distinct "
+                "event-type set collected, sorted, joined to a canonical "
+                "CSV (deterministic listagg), plus membership — "
+                "collect_set + array_sort + array_join in one hash "
+                "aggregate; the per-entity profile shape.",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types_csv"),
+        F.size(types).cast("int").alias("n_types"),
+        F.array_contains(F.collect_set("event_type"), "purchase")
+        .alias("has_purchase"),
+    )
+
+
+@register(
+    "q_regional_volume",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    description="Six-table join (TPC-H Q5 shape — local supplier volume): "
+                "region→nation→customer→orders→lineitem→supplier with the "
+                "correlated s_nationkey = c_nationkey condition. The "
+                "canonical Catalyst join-ordering / AQE stress: tiny dims "
+                "broadcast, fact joins shuffle, date+region filters push "
+                "down before any join.",
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = R.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = R.load_table(spark, sf_dir, "nation")
+    cust = R.load_table(spark, sf_dir, "customer")
+    orders = R.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = R.load_table(spark, sf_dir, "lineitem")
+    supp = R.load_table(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, (supp["s_suppkey"] == li["l_suppkey"])
+              & (supp["s_nationkey"] == cust["c_nationkey"]))
+        .join(F.broadcast(nation), nation["n_nationkey"] == cust["c_nationkey"])
+        .join(F.broadcast(region), region["r_regionkey"] == nation["n_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
+_PROFILE_COLS = ["l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"]
+
+
+@register(
+    "q_null_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    description="Data-quality profiling: per-column row/null/distinct "
+                "counts over the fact table, melted to one row per column "
+                "— the validation pass a 100 TB ingest runs before "
+                "publishing a partition. One aggregate per column over a "
+                "shared scan (Spark caches nothing: the scan is "
+                "column-pruned per branch).",
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    parts = [
+        li.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_trend_slope",
+    oracle="""
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS slope
+    FROM (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(TIMESTAMP '1995-01-01') AS DOUBLE)
+                 / 1000000.0 / 86400.0 AS x,
+               value AS y
+        FROM events
+      )
+      GROUP BY user_id
+    )
+    WHERE n * sxx - sx * sx != 0
+    """,
+    description="Per-series OLS trend slope via applyInPandas (grouped-map "
+                "Arrow path: one pandas frame per series, numpy closed-form "
+                "least squares) — correctness-gated against the explicit "
+                "sum formula in SQL. Completes the Python API surface "
+                "under the oracle: mapInPandas (decode), pandas_udf "
+                "(scalar), applyInPandasWithState (streaming), and now "
+                "grouped-map.",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = R.load_table(spark, sf_dir, "events")
+    base = F.lit("1995-01-01").cast("timestamp_ntz")
+    prepared = ev.select(
+        "user_id",
+        ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.unix_micros(base.cast("timestamp"))) / 1_000_000.0 / 86400.0
+         ).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def slope_of(pdf):
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = float(len(x))
+        sx, sy = float(np.sum(x)), float(np.sum(y))
+        sxy, sxx = float(np.sum(x * y)), float(np.sum(x * x))
+        den = n * sxx - sx * sx
+        if den == 0:
+            return pd.DataFrame({"user_id": [], "n": [], "slope": []})
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [int(n)],
+            "slope": [round((n * sxy - sx * sy) / den, 5)],
+        })
+
+    return prepared.groupBy("user_id").applyInPandas(
+        slope_of, "user_id bigint, n bigint, slope double"
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR lag(value) OVER w != value THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts, value FROM marked WHERE chg = 1
+    )
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+    """,
+    description="SCD type-2 dimension history: collapse consecutive equal "
+                "values per series into validity intervals — change rows "
+                "via lag, interval close via lead over the change set; "
+                "open intervals carry NULL valid_to. Two window passes on "
+                "one (series) shuffle — the functional restatement of "
+                "UPDATE-with-end-dating.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = R.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    changes = ev.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("value")), 1).otherwise(0)
+    ).filter(F.col("chg") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id", "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@register(
     "q_cube",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
