@@ -52,10 +52,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Initial labels already fold in the first propagation round:
+    # comp₀(node) = min(node, min neighbor) — one aggregate instead of a
+    # distinct + a full round; clique-shaped near-dup graphs converge on
+    # the very next stationarity check.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.select(F.col("u").alias("node"), F.least("u", "v").alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
