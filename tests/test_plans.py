@@ -168,3 +168,35 @@ def test_fuzzy_match_blocks_before_levenshtein(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_fuzzy_match")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_operators_tolerate_degenerate_inputs(spark):
+    """Empty and single-row inputs must flow through the semantic
+    operators without errors or phantom rows."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.datapipe.components import dedup_components
+    from real_big_data_project_spark.operators.aggregates import ohlcv_daily
+    from real_big_data_project_spark.operators.dedup import (
+        dedup_by_keys, tick_compression,
+    )
+
+    empty = spark.createDataFrame(
+        [], "cid int, date timestamp_ntz, value double, volume double")
+    one = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 2, 9, 30), 10.0, 5.0)],
+        "cid int, date timestamp_ntz, value double, volume double")
+
+    assert tick_compression(empty, key="cid", ts="date", price="value").count() == 0
+    assert ohlcv_daily(empty, key="cid", ts="date", price="value",
+                       volume="volume").count() == 0
+    assert dedup_by_keys(empty, ["cid"], order=["date"]).count() == 0
+
+    kept = tick_compression(one, key="cid", ts="date", price="value").collect()
+    assert len(kept) == 1  # a lone tick is its own day endpoint
+    bars = ohlcv_daily(one, key="cid", ts="date", price="value",
+                       volume="volume").collect()
+    assert len(bars) == 1 and bars[0].open == bars[0].close == 10.0
+
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_components(no_pairs).count() == 0

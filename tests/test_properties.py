@@ -141,3 +141,38 @@ def test_interval_join_binned_equals_naive(spark, intervals, probes):
         .collect()
     }
     assert got == naive
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 500)),
+             min_size=1, max_size=25),  # left rows: (key, t, id-ish)
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 500)),
+             min_size=0, max_size=25),  # right rows: (key, t, payload)
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_naive(spark, left_rows, right_rows):
+    """asof_join_backward == the naive per-left-row 'latest right with
+    rt <= lt' rule, including duplicate timestamps on the right (max
+    payload wins per the operator's total ordering)."""
+    import datetime as dt
+
+    from real_big_data_project_spark.operators.joins import asof_join_backward
+
+    base = dt.datetime(2020, 1, 1)
+    lid = [(k, base + dt.timedelta(minutes=t), i * 10 + n)
+           for n, (k, t, i) in enumerate(left_rows)]
+    rid = [(k, base + dt.timedelta(minutes=t), float(p))
+           for k, t, p in right_rows]
+    left = spark.createDataFrame(lid, "key int, ts timestamp_ntz, event_id int")
+    right = spark.createDataFrame(rid, "key int, ts timestamp_ntz, value double")
+    out = asof_join_backward(left, right, key="key", ts="ts",
+                             right_values=["value"], tiebreak="event_id")
+    got = {(r.event_id): r.asof_value for r in out.collect()}
+
+    want = {}
+    for k, lt, eid in lid:
+        cands = [(rt, p) for (rk, rt, p) in rid if rk == k and rt <= lt]
+        # operator contract: latest ts wins; among duplicate ts, max payload
+        want[eid] = max(cands)[1] if cands else None
+    assert got == want

@@ -140,3 +140,84 @@ def test_checkpoint_restart_processes_each_file_exactly_once(spark, sf_dir, tmp_
     # ...and a new file is processed exactly once (file A never replays)
     shutil.copyfile(src, landing / "events_b.parquet")
     assert drain() == 2 * n
+
+
+def test_foreach_batch_upsert_keeps_latest_per_key(spark, tmp_path):
+    """foreachBatch merge sink: each micro-batch upserts day-bars by key
+    into a parquet table (read-modify-write inside the batch function) —
+    the production pattern for sinks without native MERGE. Processing two
+    files where the second revises a key must leave exactly one row per
+    key with the latest value."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.streaming.ohlcv_stream import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "bars")
+    ckpt = str(tmp_path / "ckpt")
+
+    def nanos(d, h):
+        return int(dt.datetime(2024, 1, d, h).timestamp() * 1e9)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_flat(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(pa.table({
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.int64()),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }), path)
+
+    rows1 = [(1, nanos(1, 10), 7, "click", 100.0, "{}")]
+    rows2 = [(2, nanos(1, 11), 7, "click", 250.0, "{}"),   # revises key 7
+             (3, nanos(1, 10), 8, "view", 50.0, "{}")]
+    write_flat(str(landing / "f1.parquet"), rows1)
+
+    def upsert(batch_df, _batch_id):
+        incoming = (batch_df.groupBy("user_id")
+                    .agg(F.max_by("value", "ts").alias("last_value"),
+                         F.max("ts").alias("ts")))
+        sp = incoming.sparkSession
+        try:
+            current = sp.read.parquet(target)
+        except Exception:
+            current = None
+        if current is not None:
+            keep = current.join(incoming.select("user_id"), "user_id",
+                                "left_anti")
+            merged = keep.unionByName(incoming)
+        else:
+            merged = incoming
+        merged.persist().count()          # materialize BEFORE overwrite
+        merged.write.mode("overwrite").parquet(target + "_next")
+        sp.read.parquet(target + "_next").write.mode("overwrite").parquet(target)
+        merged.unpersist()
+
+    def drain():
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(landing))
+        q = (raw.writeStream.foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    drain()
+    first = {r.user_id: r.last_value for r in spark.read.parquet(target).collect()}
+    assert first == {7: 100.0}
+
+    write_flat(str(landing / "f2.parquet"), rows2)
+    drain()
+    final = {r.user_id: r.last_value for r in spark.read.parquet(target).collect()}
+    assert final == {7: 250.0, 8: 50.0}
