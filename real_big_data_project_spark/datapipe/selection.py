@@ -99,6 +99,43 @@ def mixture_take(
     )
 
 
+ES_KEY_ROUND = 8
+
+
+def weighted_sample_take(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    draw u ~ U(0,1] per row from the id hash, rank by −ln(u)/w ascending
+    (equivalent to uᵂ descending), take the top n — inclusion probability
+    ∝ weight, deterministic, single pass.
+
+    This is the quality-weighted corpus subset selector: w = a quality or
+    length score, and the same n rows come back on every run/partitioning
+    — auditable training mixes. The top-n is orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps, no global sort); the key
+    is rounded so the cross-engine oracle ranks identically (pow/ln libm
+    implementations may differ in the last ulp).
+    """
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    u = (F.conv(hex8, 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    w = F.greatest(F.col(weight_col), F.lit(1))
+    key = F.round(-F.log(u) / w, ES_KEY_ROUND)
+    top = (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    rank_w = Window.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+
+
 # PII patterns — deliberately restricted to syntax portable between Java
 # regex (Spark) and RE2 (DuckDB): char classes, bounded repetition, \b.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

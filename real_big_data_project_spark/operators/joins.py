@@ -176,7 +176,10 @@ def interval_join_binned(
     DuckDB's IEJoin answers the same query directly, which makes this
     oracle-checkable.
     """
-    binned_iv = intervals.withColumn(
+    # An inverted interval (end < start) can never satisfy the BETWEEN —
+    # drop it up front instead of letting sequence() throw on a negative
+    # range (exact equivalence with the naive cross-join formulation).
+    binned_iv = intervals.filter(F.col(end) >= F.col(start)).withColumn(
         "_bin",
         F.explode(
             F.sequence(

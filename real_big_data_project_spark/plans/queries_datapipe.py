@@ -1077,6 +1077,41 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_N = 50
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(-ln((CAST(concat('0x',
+                     substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967296.0)
+                   / greatest(n_chars, 1), 8) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY es_key ASC, doc_id ASC) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {WSAMPLE_N}
+    """,
+    description="Weighted sampling without replacement (Efraimidis–"
+                "Spirakis): u from the id hash, rank by −ln(u)/weight — "
+                "inclusion ∝ weight (n_chars here; a quality score in "
+                "production), deterministic across runs/partitionings. "
+                "Top-n via TakeOrderedAndProject, never a global sort; "
+                "key rounded for cross-engine libm parity.",
+    tags=("datapipe",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import weighted_sample_take
+
+    docs = R.load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_take(docs, "n_chars", "doc_id", WSAMPLE_N)
+
+
 # planted-PII text, mirrored in Spark by _planted_pii_text below
 _SQL_PII_PLANT = """
     planted AS (

@@ -287,3 +287,18 @@ def test_bm25_matches_pure_python(spark):
             want[d] = round(s, SCORE_ROUND)
     assert got == want
     assert got[1] > got[2]  # more matching terms → higher score
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_dir, docs):
+    """E-S sampling: inclusion probability ∝ weight, so the sampled docs'
+    mean weight must exceed the corpus mean (deterministic on fixed
+    data); rerun yields the identical sample."""
+    from real_big_data_project_spark.datapipe.selection import weighted_sample_take
+
+    base = docs.select("doc_id", "n_chars")
+    s1 = weighted_sample_take(base, "n_chars", "doc_id", 50).collect()
+    s2 = weighted_sample_take(base, "n_chars", "doc_id", 50).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    corpus_mean = (base.agg(F.avg("n_chars")).collect()[0][0])
+    assert sample_mean > corpus_mean

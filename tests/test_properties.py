@@ -102,7 +102,7 @@ def test_pct_change_guards(spark, pairs):
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 40), st.integers(0, 6)),  # (start_day, len)
+        st.tuples(st.integers(0, 40), st.integers(-2, 6)),  # (start_day, len; negative = inverted)
         min_size=1, max_size=8,
     ),
     st.lists(st.integers(0, 45), min_size=1, max_size=60),  # probe days
