@@ -59,6 +59,10 @@ def main() -> int:
             continue
         timings[name] = round(dt, 4)
         total += dt
+        # Untimed GC barrier: without it, heap debt from allocation-heavy
+        # queries (shingle sets, collect_list) lands as GC pauses inside
+        # whichever query runs NEXT — per-query isolation, not a speedup.
+        spark._jvm.System.gc()
 
     # ...but it must not make the headline metric look FASTER either:
     # a failure reads as the full bench timeout, never as saved time.

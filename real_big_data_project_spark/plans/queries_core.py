@@ -1721,6 +1721,56 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quantile_bucket",
+    oracle="""
+    WITH cuts AS (
+      SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS c1,
+             round(quantile_cont(o_totalprice, 0.50), 6) AS c2,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS c3
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT)
+               + CAST(o_totalprice > c3 AS INT) AS bucket
+      FROM orders, cuts
+    )
+    GROUP BY bucket
+    """,
+    description="Equi-depth bucketing the way it scales (the path "
+                "q_ntile_deciles' global-order window can't take at fact "
+                "size): compute quartile cutpoints once (1-row aggregate; "
+                "approx_percentile's sketch at 100 TB), broadcast them, "
+                "bucket every row map-side by comparison — no global "
+                "sort, no single-task window; per-bucket stats in one "
+                "shuffle of 4 groups.",
+)
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("c1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("c2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("c3"),
+    )
+    bucket = (
+        (F.col("o_totalprice") > F.col("c1")).cast("int")
+        + (F.col("o_totalprice") > F.col("c2")).cast("int")
+        + (F.col("o_totalprice") > F.col("c3")).cast("int")
+    )
+    return (
+        orders.select("o_totalprice")
+        .crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+    )
+
+
+@register(
     "q_cube",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
