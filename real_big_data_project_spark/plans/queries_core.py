@@ -1721,6 +1721,40 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rank_functions",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    description="The full ranking-function family over one per-group "
+                "window (rank / dense_rank / percent_rank / cume_dist "
+                "with a total ordering) — SURVEY §2.7 noted their absence "
+                "from the reference; one shuffle on the group key serves "
+                "all four.",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    supp = R.load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return supp.select(
+        "s_suppkey", "s_nationkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
     "q_quantile_bucket",
     oracle="""
     WITH cuts AS (

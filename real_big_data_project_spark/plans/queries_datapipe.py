@@ -1077,6 +1077,128 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_THRESHOLD = 0.8
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    split AS (
+      SELECT doc_id, text,
+             doc_id > (SELECT max(doc_id) FROM documents) AS is_eval
+      FROM corpus
+    ),
+    {SQL_SHINGLES.replace('FROM corpus', 'FROM split')},
+    train_sh AS (
+      SELECT s.doc_id, unnest(s.sh) AS shingle
+      FROM shingled s JOIN split USING (doc_id) WHERE NOT split.is_eval
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(s.sh) AS shingle
+      FROM shingled s JOIN split USING (doc_id) WHERE split.is_eval
+    ),
+    hits AS (
+      SELECT t.doc_id,
+             count(*) AS n_shingles,
+             count(*) FILTER (e.shingle IS NOT NULL) AS n_hits
+      FROM train_sh t LEFT JOIN eval_sh e USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / n_shingles AS overlap,
+           (CAST(n_hits AS DOUBLE) / n_shingles) >= {DECONTAM_THRESHOLD}
+             AS is_contaminated
+    FROM hits
+    """,
+    description="Benchmark decontamination: per TRAIN doc, the fraction "
+                "of its distinct 3-gram shingles present anywhere in the "
+                "EVAL set (planted near-copies play the leaked benchmark) "
+                "— asymmetric containment, the metric used to strip eval "
+                "leakage from pretraining corpora. One shuffle on the "
+                "shingle key; eval-side shingles dedup'd first so the "
+                "join is set-semantic. Integer-ratio arithmetic → "
+                "bit-exact oracle.",
+    tags=("datapipe",),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    offset_df = docs.agg(F.max("doc_id").alias("_mx"))
+    corpus = CP.with_near_duplicates(docs)
+    sh = DT.exploded_shingles(corpus, 3)
+    sh = sh.crossJoin(F.broadcast(offset_df))
+    train = sh.filter(F.col("doc_id") <= F.col("_mx")).select("doc_id", "shingle")
+    eval_sh = (
+        sh.filter(F.col("doc_id") > F.col("_mx")).select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = (
+        train.join(eval_sh, on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.count("_hit").alias("n_hits"))
+    )
+    overlap = F.col("n_hits").cast("double") / F.col("n_shingles")
+    return hits.select(
+        "doc_id", "n_shingles", "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= DECONTAM_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+BIGRAM_MIN_COUNT = 3
+
+
+@register(
+    "q_bigram_lm",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS n12 FROM grams GROUP BY w1, w2),
+    uni AS (SELECT w1, sum(n12) AS n1 FROM big GROUP BY w1)
+    SELECT b.w1, b.w2, CAST(b.n12 AS BIGINT) AS n12, CAST(u.n1 AS BIGINT) AS n1,
+           CAST(b.n12 AS DOUBLE) / u.n1 AS cond_p
+    FROM big b JOIN uni u USING (w1)
+    WHERE b.n12 >= {BIGRAM_MIN_COUNT}
+    """,
+    description="Bigram language-model table: token-pair counts → "
+                "conditional P(w2|w1) as an integer ratio (bit-exact "
+                "oracle), thresholded to frequent pairs — the n-gram-LM "
+                "data-prep pass (and the statistical backbone of the "
+                "repetition/boilerplate signals). Pairs built with the "
+                "same posexplode+lead shape as the shingles.",
+    tags=("datapipe",),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import normalized_tokens
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(normalized_tokens("text")).alias("_pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    pairs = (
+        pos.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        big.join(uni, "w1")
+        .filter(F.col("n12") >= BIGRAM_MIN_COUNT)
+        .select("w1", "w2", F.col("n12").cast("long").alias("n12"),
+                F.col("n1").cast("long").alias("n1"),
+                (F.col("n12").cast("double") / F.col("n1")).alias("cond_p"))
+    )
+
+
 WSAMPLE_N = 50
 
 
