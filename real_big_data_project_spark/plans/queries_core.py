@@ -1721,6 +1721,36 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'orderkey_mod', CAST(o_orderkey % 100 AS DOUBLE)
+      FROM orders
+    )
+    """,
+    description="Wide→long melt (the inverse of q_pivot_wide): one row per "
+                "(id, metric) via the unpivot operator — planned as a "
+                "single Expand node (map-only, rows×metrics), not a "
+                "self-union of scans.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        (F.col("o_orderkey") % 100).cast("double").alias("orderkey_mod"),
+    )
+    return orders.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey", "orderkey_mod"],
+        "metric", "val",
+    )
+
+
+@register(
     "q_rank_functions",
     oracle="""
     SELECT s_suppkey, s_nationkey,

@@ -1077,6 +1077,109 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMPERATURE = 0.7
+MIX_TARGET_DOCS = 1000
+
+
+@register(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    powed AS (
+      SELECT source, n, round(pow(n, {MIX_TEMPERATURE}), 6) AS w
+      FROM sizes
+    ),
+    tot AS (SELECT round(sum(w), 6) AS z FROM powed)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           round(w / z, 6) AS mix_weight,
+           CAST(floor(w / z * {MIX_TARGET_DOCS}) AS BIGINT) AS target_docs
+    FROM powed, tot
+    """,
+    description="Temperature-scaled domain mixing (the multilingual/"
+                "multi-domain sampling rule p ∝ n^α, α=0.7): per-source "
+                "sizes → powered weights → renormalized mix proportions "
+                "and integer doc targets. Two 1-row-per-source "
+                "aggregates; pow/sum rounded at each stage so the "
+                "cross-engine arithmetic chain is identical.",
+    tags=("datapipe",),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    powed = (
+        docs.groupBy("source").agg(F.count("*").alias("n"))
+        .withColumn("w", F.round(F.pow("n", MIX_TEMPERATURE), 6))
+    )
+    tot = powed.agg(F.round(F.sum("w"), 6).alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source", F.col("n").cast("long").alias("n"),
+            F.round(F.col("w") / F.col("z"), 6).alias("mix_weight"),
+            F.floor(F.col("w") / F.col("z") * MIX_TARGET_DOCS)
+            .cast("long").alias("target_docs"),
+        )
+    )
+
+
+PACK_BUDGET_TOKENS = 400
+
+
+@register(
+    "q_sequence_packing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS offset_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(offset_tokens AS DOUBLE) / {PACK_BUDGET_TOKENS})
+                AS BIGINT) AS bin_id,
+           CAST(offset_tokens % {PACK_BUDGET_TOKENS} AS BIGINT)
+             AS offset_in_bin
+    FROM packed
+    """,
+    description="Sequence packing for LM training: concatenate docs in a "
+                "deterministic order and split at a fixed token budget — "
+                "each doc gets its context-window bin and offset from a "
+                "running token prefix-sum (one global-order window; at "
+                "fact scale, per-shard prefix sums + a tiny shard-offset "
+                "broadcast give the same assignment without the global "
+                "window). Integer arithmetic end to end.",
+    tags=("datapipe",),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    packed = toks.withColumn(
+        "offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("offset_tokens").cast("double") / PACK_BUDGET_TOKENS)
+        .cast("long").alias("bin_id"),
+        (F.col("offset_tokens") % PACK_BUDGET_TOKENS).cast("long")
+        .alias("offset_in_bin"),
+    )
+
+
 DECONTAM_THRESHOLD = 0.8
 
 
