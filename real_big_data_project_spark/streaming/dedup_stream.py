@@ -77,7 +77,10 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination()
+        # availableNow drains finish in seconds; cap the wait so a stalled
+        # source fails loudly instead of hanging the whole harness run
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
     finally:
         q.stop()
     return spark.table(name)
@@ -112,7 +115,10 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
         .start()
     )
     try:
-        q.awaitTermination()
+        # availableNow drains finish in seconds; cap the wait so a stalled
+        # source fails loudly instead of hanging the whole harness run
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
     finally:
         q.stop()
     out = spark.table(name)

@@ -56,7 +56,10 @@ def run_streaming_sessions(
         .start()
     )
     try:
-        q.awaitTermination()
+        # availableNow drains finish in seconds; cap the wait so a stalled
+        # source fails loudly instead of hanging the whole harness run
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
     finally:
         q.stop()
     out = spark.table(name)

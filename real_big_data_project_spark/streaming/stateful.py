@@ -120,7 +120,10 @@ def run_stateful_pct_change(
         .start()
     )
     try:
-        q.awaitTermination()
+        # availableNow drains finish in seconds; cap the wait so a stalled
+        # source fails loudly instead of hanging the whole harness run
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
     finally:
         q.stop()
     return spark.table(name).withColumn("ts", F.expr(_TS_FROM_NANOS))
