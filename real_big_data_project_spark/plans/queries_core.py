@@ -1721,6 +1721,73 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_having_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, b.total_qty
+    FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+    """,
+    description="HAVING + join-back (TPC-H Q18 shape): aggregate the fact "
+                "table, filter groups on the aggregate, rejoin the "
+                "surviving (few) keys to the orders header — the filter "
+                "runs where the data is (post-agg), and only qualifying "
+                "keys travel to the join.",
+)
+def q_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    orders = R.load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+        .select("l_orderkey", F.round("_qty", 2).alias("total_qty"))
+    )
+    return orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"]
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(json_extract_string(props, '$.k') AS BIGINT)), 5)
+             AS corr_vk,
+           round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS covar_vk,
+           round(stddev_samp(value), 5) AS sd_value,
+           round(var_samp(value), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Statistical aggregate family (corr / covar_samp / "
+                "stddev_samp / var_samp) per group — the co-movement "
+                "surface the reference's per-day std hints at; all four "
+                "compute in ONE hash aggregate pass (shared moment "
+                "accumulators), rounded for cross-engine accumulation "
+                "parity.",
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "k"), 5).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 4).alias("covar_vk"),
+            F.round(F.stddev_samp("value"), 5).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+        )
+    )
+
+
+@register(
     "q_unpivot",
     oracle="""
     SELECT o_orderkey, metric, val FROM (
