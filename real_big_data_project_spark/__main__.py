@@ -1,0 +1,142 @@
+"""Operational entry points — the reference's two processes as one CLI.
+
+    python -m real_big_data_project_spark ingest \
+        --snapshots raw_snaps.parquet [--euronext listings.parquet] --out DIR
+    python -m real_big_data_project_spark sql "SELECT ..." --tables DIR
+    python -m real_big_data_project_spark bars --tables DIR --cid 1 \
+        [--start 2024-01-01] [--end 2024-12-31] [--bollinger 20]
+
+`ingest` is `python etl.py` (reference etl/etl.py:833-905): raw snapshot
+feed (+ optional Euronext listings) → companies/markets parquet +
+date-partitioned stocks/daystocks (the hypertable analogue). `sql` is the
+dashboard's tab-3 passthrough (arbitrary SQL over the ingested tables via
+spark.sql). `bars` is the tab-1/tab-2 chart query (per-company daily bars
++ optional Bollinger bands).
+
+Each command prints ONE JSON line so the CLI is scriptable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENGINE_TABLES = ("markets", "companies", "stocks", "daystocks",
+                 "stocks_compressed")
+
+
+def _read_any(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".csv") or path.endswith(".tsv"):
+        sep = "\t" if path.endswith(".tsv") else ","
+        return (spark.read.option("header", "true").option("sep", sep)
+                .option("mode", "DROPMALFORMED").csv(path))
+    return spark.read.parquet(path)
+
+
+def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from .pipeline import run_pipeline
+    from .sources.sinks import write_time_partitioned
+
+    raw = _read_any(spark, args.snapshots)
+    eur = _read_any(spark, args.euronext) if args.euronext else None
+    tables = run_pipeline(spark, raw, euronext=eur,
+                          tick_tiebreak=args.tiebreak)
+    os.makedirs(args.out, exist_ok=True)
+    counts: dict[str, int] = {}
+    for name in ("markets", "companies"):
+        tables[name].write.mode("overwrite").parquet(
+            os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+    for name in ("stocks", "daystocks", "stocks_compressed"):
+        write_time_partitioned(tables[name], os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+    return {"cmd": "ingest", "out": args.out, "counts": counts}
+
+
+def _register_tables(spark: SparkSession, tables_dir: str) -> list[str]:
+    found = []
+    for name in ENGINE_TABLES:
+        p = os.path.join(tables_dir, name)
+        if os.path.isdir(p):
+            spark.read.parquet(p).createOrReplaceTempView(name)
+            found.append(name)
+    return found
+
+
+def cmd_sql(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Tab-3 passthrough (dashboard/timescaledb_model.py:655-690): SELECTs
+    return rows, anything else executes and reports like the reference's
+    rowcount branch."""
+    views = _register_tables(spark, args.tables)
+    df_or_none = spark.sql(args.query)
+    if df_or_none.columns:
+        rows = df_or_none.limit(args.limit).collect()
+        return {"cmd": "sql", "views": views, "n_rows": len(rows),
+                "columns": df_or_none.columns,
+                "rows": [[str(v) for v in r] for r in rows]}
+    return {"cmd": "sql", "views": views, "status": "executed"}
+
+
+def cmd_bars(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Tab-1 chart query (SURVEY §3.2): daystocks range scan for one
+    company, optional Bollinger bands over the close series."""
+    from .operators.windows import rolling_bollinger
+
+    _register_tables(spark, args.tables)
+    bars = spark.table("daystocks").filter(F.col("cid") == args.cid)
+    if args.start:
+        bars = bars.filter(F.col("date") >= F.lit(args.start).cast("date"))
+    if args.end:
+        bars = bars.filter(F.col("date") <= F.lit(args.end).cast("date"))
+    if args.bollinger:
+        bars = rolling_bollinger(bars, key="cid", ts="date", price="close",
+                                 window_size=args.bollinger, num_std=2.0)
+    rows = bars.orderBy("date").collect()
+    return {"cmd": "bars", "cid": args.cid, "n_rows": len(rows),
+            "columns": bars.columns,
+            "rows": [[str(v) for v in r] for r in rows[: args.limit]]}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="raw feeds -> engine tables")
+    ing.add_argument("--snapshots", required=True)
+    ing.add_argument("--euronext")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--tiebreak", default=None,
+                     help="snapshot column making (symbol, ts) total")
+
+    sq = sub.add_parser("sql", help="arbitrary SQL over ingested tables")
+    sq.add_argument("query")
+    sq.add_argument("--tables", required=True)
+    sq.add_argument("--limit", type=int, default=100)
+
+    br = sub.add_parser("bars", help="per-company daily bars (+Bollinger)")
+    br.add_argument("--tables", required=True)
+    br.add_argument("--cid", type=int, required=True)
+    br.add_argument("--start")
+    br.add_argument("--end")
+    br.add_argument("--bollinger", type=int, default=0)
+    br.add_argument("--limit", type=int, default=100)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .session import get_spark
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("rbds-cli")
+    fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars}[args.cmd]
+    print(json.dumps(fn(spark, args)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

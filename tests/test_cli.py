@@ -1,0 +1,60 @@
+"""CLI smoke tests: the reference's operational entry points (etl run,
+SQL passthrough, chart query) driven through the argparse layer
+in-process (one shared session; `main()` only adds session construction).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from real_big_data_project_spark.__main__ import (
+    build_parser, cmd_bars, cmd_ingest, cmd_sql,
+)
+from tests.test_pipeline import EURONEXT_ROWS, EURONEXT_SCHEMA, RAW_ROWS, RAW_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    snaps = str(root / "snaps.parquet")
+    eur = str(root / "eur.parquet")
+    out = str(root / "warehouse")
+    spark.createDataFrame(RAW_ROWS, RAW_SCHEMA).write.parquet(snaps)
+    spark.createDataFrame(EURONEXT_ROWS, EURONEXT_SCHEMA).write.parquet(eur)
+    args = build_parser().parse_args(
+        ["ingest", "--snapshots", snaps, "--euronext", eur, "--out", out])
+    return cmd_ingest(spark, args), out
+
+
+def test_cli_ingest_writes_all_tables(ingested):
+    res, _ = ingested
+    assert set(res["counts"]) == {"markets", "companies", "stocks",
+                                  "daystocks", "stocks_compressed"}
+    assert res["counts"]["markets"] == 10
+    assert res["counts"]["companies"] == 4   # ALO.PA, BARE, SOLV + TTE (new)
+    # euronext ISIN-resolution renames ALO -> ALO.PA, so ALO snapshot ticks
+    # no longer resolve (test_pipeline goldens): SOLV(2) + BARE(1) remain
+    assert res["counts"]["stocks"] == 3
+    assert res["counts"]["daystocks"] == 2   # (SOLV d1, BARE d1)
+
+
+def test_cli_sql_passthrough(spark, ingested):
+    _, out = ingested
+    args = build_parser().parse_args(
+        ["sql", "SELECT symbol, count(*) AS n FROM companies "
+                "JOIN stocks ON stocks.cid = companies.id "
+                "GROUP BY symbol ORDER BY symbol", "--tables", out])
+    res = cmd_sql(spark, args)
+    assert res["columns"] == ["symbol", "n"]
+    assert [r[0] for r in res["rows"]] == ["BARE", "SOLV"]
+
+
+def test_cli_bars_with_bollinger(spark, ingested):
+    _, out = ingested
+    args = build_parser().parse_args(
+        ["bars", "--tables", out, "--cid", "3", "--bollinger", "2"])
+    res = cmd_bars(spark, args)
+    assert res["n_rows"] == 1               # SOLV traded one day
+    assert "boll_mean" in res["columns"]
