@@ -1077,6 +1077,109 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embedding_pool",
+    oracle=f"""
+    WITH {SQL_VECS},
+    lv AS (SELECT e.label, v.v FROM embeddings e JOIN vecs v USING (vec_id)),
+    sizes AS (SELECT label, count(*) AS n_members FROM lv GROUP BY label),
+    pooled AS (
+      SELECT label, list(cval ORDER BY dim) AS pv
+      FROM (
+        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    )
+    SELECT p.label, CAST(s.n_members AS BIGINT) AS n_members,
+           md5(array_to_string(list_transform(p.pv, x -> printf('%.6f', x)), ','))
+             AS pooled_md5,
+           round(sqrt(list_sum(list_transform(p.pv, x -> x * x))), 5)
+             AS pooled_norm
+    FROM pooled p JOIN sizes s USING (label)
+    """,
+    description="Embedding pooling (chunk→document vectors): per-group "
+                "elementwise mean over the vector column — dims exploded "
+                "into one codegen'd avg aggregate, arrays rebuilt in dim "
+                "order, fingerprinted (md5 of the rounded components) so "
+                "the gate compares content without shipping the payload. "
+                "The aggregation half of every chunked-embedding store.",
+    tags=("datapipe",),
+)
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.similarity import ivf_centroids
+
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb)
+    sizes = emb.groupBy("label").agg(F.count("*").alias("n_members"))
+    pooled = cents.join(sizes, "label")
+    # fixed-decimal printf, NOT cast-to-string: the engines disagree on
+    # when double rendering flips to scientific notation
+    return pooled.select(
+        "label",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.md5(F.array_join(F.transform(
+            "centroid", lambda x: F.format_string("%.6f", x)), ","))
+        .alias("pooled_md5"),
+        F.round(F.sqrt(F.aggregate(
+            F.transform("centroid", lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x)), 5).alias("pooled_norm"),
+    )
+
+
+TOP_TERMS_K = 5
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+@register(
+    "q_top_terms_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(t) AS term
+      FROM (SELECT lang, {SQL_TOKS} AS t FROM documents)
+    ),
+    counted AS (
+      SELECT lang, term, count(*) AS n FROM toks
+      WHERE term NOT IN {_STOP_SQL} AND length(term) >= 3
+      GROUP BY lang, term
+    )
+    SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, term ASC) AS rnk
+      FROM counted
+    ) WHERE rnk <= {TOP_TERMS_K}
+    """,
+    description="Corpus reporting: top content terms per language "
+                "(stopword/short-token filtered term counts, total-ordered "
+                "grouped top-k) — the explode → count → window pattern "
+                "behind every 'what is in this corpus' dashboard.",
+    tags=("datapipe",),
+)
+def q_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import normalized_tokens
+    from ..functions.text import STOPWORDS
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(normalized_tokens("text")).alias("term"))
+    counted = (
+        toks.filter(~F.col("term").isin(list(STOPWORDS))
+                    & (F.length("term") >= 3))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .select("lang", "term", F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 MIX_TEMPERATURE = 0.7
 MIX_TARGET_DOCS = 1000
 
