@@ -1721,6 +1721,58 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 BETWEEN 1 AND 8
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice != b.o_totalprice
+    """,
+    description="Snapshot diff / CDC classification: FULL OUTER join two "
+                "table versions on the key, emit added / removed / "
+                "changed rows (unchanged bulk filtered out) — the "
+                "ingest-validation and incremental-publish primitive; "
+                "one shuffle on the key, AQE picks the join strategy.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = R.load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price"))
+    b = orders.filter((F.col("o_orderkey") % 10).between(1, 8)).select(
+        "o_orderkey",
+        # +1000.0 not *1.1: scaling a 2-dp price makes .xx5 boundaries
+        # where the engines' round() modes (half-up vs half-even) split;
+        # adding a representable constant is bit-exact with no rounding
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice")).alias("new_price"))
+    j = a.join(b, on="o_orderkey", how="full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(F.col("old_price").isNull() | F.col("new_price").isNull()
+                 | (F.col("old_price") != F.col("new_price")))
+        .select("o_orderkey", status.alias("status"), "old_price", "new_price")
+    )
+
+
+@register(
     "q_having_large_orders",
     oracle="""
     WITH big AS (
