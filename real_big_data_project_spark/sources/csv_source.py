@@ -69,3 +69,39 @@ def read_nation_tsv(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(path)
     )
+
+
+def read_nation_tsv_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S2 + the `error_dates` quarantine concept
+    (etl/timescaledb_model.py:279 — declared, never used): PERMISSIVE
+    parse capturing unparseable lines in a corrupt-record column instead
+    of silently dropping them. Returns (clean, quarantine) — at scale the
+    quarantine side is written next to the table so bad feeds are
+    auditable and replayable, which DROPMALFORMED forfeits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        NATION_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark refuses scans whose only referenced column is the internal
+        # corrupt-record column (count()/filter prune to exactly that);
+        # caching the parsed result is the documented escape hatch — and
+        # the right call anyway, since clean and quarantine both consume it.
+        .cache()
+    )
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, quarantine

@@ -132,3 +132,23 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert max(zx / xr, zy / yr) < 0.4, (zx, xr, zy, yr)
     assert ly > 0.5 * yr, (ly, yr)   # ...while linear sort does not
     assert zy < 0.5 * ly             # and z-order beats it decisively
+
+
+def test_csv_quarantine_captures_malformed_lines(spark, sf_dir):
+    """The PERMISSIVE quarantine variant of the TSV source must parse
+    exactly the rows DROPMALFORMED keeps AND capture every malformed
+    line for audit (the error_dates concept, made real)."""
+    from real_big_data_project_spark.sources.csv_source import (
+        ensure_nation_tsv, read_nation_tsv, read_nation_tsv_with_quarantine,
+    )
+
+    path = ensure_nation_tsv(spark, sf_dir)
+    # compare materialized ROWS, not count(): under DROPMALFORMED,
+    # count() prunes every column so nothing is parsed and nothing is
+    # dropped — the notorious pruning interaction
+    dropped = {tuple(r) for r in read_nation_tsv(spark, path).collect()}
+    clean, quarantine = read_nation_tsv_with_quarantine(spark, path)
+    assert {tuple(r) for r in clean.collect()} == dropped
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("no tabs" in b for b in bad)
