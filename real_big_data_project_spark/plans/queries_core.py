@@ -1721,6 +1721,27 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_csv_quarantine",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="S2 + error_dates quarantine: PERMISSIVE TSV parse over a "
+                "feed containing malformed lines — the clean side must "
+                "equal the nation table exactly while the bad lines land "
+                "in an auditable corrupt-record quarantine (pinned by "
+                "tests/test_sinks.py) instead of being silently dropped.",
+)
+def q_scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.csv_source import (
+        ensure_nation_tsv, read_nation_tsv_with_quarantine,
+    )
+
+    path = ensure_nation_tsv(spark, sf_dir)
+    clean, _quarantine = read_nation_tsv_with_quarantine(spark, path)
+    return clean.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
     "q_snapshot_diff",
     oracle="""
     WITH snap_a AS (

@@ -124,6 +124,32 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    description="Stream-stream interval join (click-to-view attribution "
+                "within 1 hour): both sides watermarked, state bounded by "
+                "the join horizon, inner matches emit on arrival — the "
+                "availableNow drain must equal the batch interval join. "
+                "The hardest Structured Streaming operator, completing "
+                "the streaming family (agg, dedup, sessions, stateful, "
+                "stream-static, stream-stream).",
+    tags=("streaming",),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_join import run_stream_stream_attribution
+
+    out = run_stream_stream_attribution(spark, sf_dir)
+    return out.select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+
+
+@register(
     "q_streaming_stateful_pct",
     oracle="""
     SELECT event_id, user_id, ts, value,
