@@ -1180,6 +1180,112 @@ def q_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E2E_SAMPLE_RATE = 0.5
+
+
+def _sql_datapipe_e2e() -> str:
+    from ..datapipe.selection import rate_to_hex_threshold
+
+    thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
+    return rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             ' ' || lower(text) || ' ' AS c
+      FROM documents
+    ),
+    langs AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+             WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             ELSE 'de' END AS lang_guess
+      FROM (SELECT doc_id, {_sql_lang_scores()} FROM stats)
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS keeper FROM stats GROUP BY fp),
+    selected AS (
+      SELECT s.doc_id
+      FROM stats s
+      JOIN langs l USING (doc_id)
+      JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keeper
+      WHERE s.quality >= 0.7 AND l.lang_guess = 'en'
+        AND s.n_tokens BETWEEN 20 AND 100000
+        AND substr(md5('sample:' || CAST(s.doc_id AS VARCHAR)), 1, 8) < '{thr}'
+    )
+    SELECT d.doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents) toks
+      JOIN selected USING (doc_id)
+    ) d
+    """
+
+
+@register(
+    "q_datapipe_e2e",
+    oracle=_sql_datapipe_e2e(),
+    description="Corpus-build capstone, end to end: quality + language + "
+                "token-length filters ∘ exact-dedup keeper policy ∘ "
+                "deterministic hash sampling ∘ overlapping token-window "
+                "chunking — documents in, training chunks out, one lazy "
+                "plan. Every stage is the already-oracled operator "
+                "(q_corpus_select ∘ q_stratified_sample ∘ q_doc_chunking) "
+                "so this pins that they COMPOSE: map-only passes + one "
+                "dedup hash-agg + broadcast-sized selection joins.",
+    tags=("datapipe",),
+)
+def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import rate_to_hex_threshold
+    from ..functions.hashing import normalized_tokens
+    from ..functions.text import fingerprint
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    stats = CP.text_stats(docs).select("doc_id", "n_tokens", "quality")
+    langs = CP.lang_id(docs).select("doc_id", "lang_guess")
+    fps = docs.select(F.col("doc_id"), fingerprint("text").alias("fp"))
+    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
+    sample_key = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    selected = (
+        stats.join(langs, "doc_id")
+        .join(keepers.select("doc_id"), "doc_id")
+        .filter(
+            (F.col("quality") >= 0.7)
+            & (F.col("lang_guess") == "en")
+            & F.col("n_tokens").between(20, 100000)
+            & (sample_key < F.lit(thr))
+        )
+        .select("doc_id")
+    )
+    toks = docs.join(selected, "doc_id").select(
+        "doc_id", normalized_tokens("text").alias("t")
+    )
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 MIX_TEMPERATURE = 0.7
 MIX_TARGET_DOCS = 1000
 
