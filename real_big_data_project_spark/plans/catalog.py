@@ -45,14 +45,46 @@ def register(name: str, oracle: str | None, description: str = "",
     return deco
 
 
-def queries_map() -> dict[str, Builder]:
+# The driver's CORRECTNESS gate samples the FIRST 50 entries of
+# ``queries()``, so exposure order is risk order, not registration order.
+# Round 2 proved the whole relational core green under the driver gate;
+# the datapipe/streaming families only ever passed the local replica.
+# Surface them first (riskiest named queries up front, then the rest of
+# datapipe + streaming, then core) so the driver's sample covers the
+# operators most likely to diverge cross-engine.
+_RISKIEST: tuple[str, ...] = (
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
+    "q_ann_ivf",
+    "q_kmeans",
+    "q_streaming_ohlcv",
+    "q_stream_stream_join",
+)
+
+
+def _family_rank(name: str, spec: QuerySpec) -> tuple[int, int]:
+    if name in _RISKIEST:
+        return (0, _RISKIEST.index(name))
+    mod = spec.builder.__module__
+    if mod.endswith("queries_datapipe"):
+        return (1, 0)
+    if mod.endswith("queries_streaming"):
+        return (2, 0)
+    return (3, 0)
+
+
+def _ordered_specs() -> list[tuple[str, QuerySpec]]:
     _load_all()
-    return {name: spec.builder for name, spec in QUERIES.items()}
+    # sorted() is stable: within a family, registration order is kept.
+    return sorted(QUERIES.items(), key=lambda kv: _family_rank(*kv))
+
+
+def queries_map() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in _ordered_specs()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _ordered_specs() if spec.oracle}
 
 
 _loaded = False
