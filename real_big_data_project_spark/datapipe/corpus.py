@@ -96,3 +96,73 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col("lang").alias("lang_label"),
         T.lang_guess(text_col).alias("lang_guess"),
     )
+
+
+def pack_sequences(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 400,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign each doc a (bin_id, offset_in_bin) under a
+    fixed token ``budget`` from a running prefix sum in ``id_col`` order —
+    WITHOUT a global-order window.
+
+    Sharded prefix sum (the 100 TB shape):
+      1. one tiny min/max aggregate of the integer id space, broadcast;
+      2. a monotone fixed-width shard key keeps every shard a contiguous
+         slice of the global order — per-shard window prefix sums run in
+         parallel (Exchange hashpartitioning, never SinglePartition over
+         the corpus);
+      3. per-shard token totals (<= n_shards rows) take an exclusive
+         running sum on the aggregate-sized frame and broadcast back as
+         base offsets.
+    offset(doc) = shard_base + local_prefix, bit-identical to the global
+    window (integer arithmetic, identical order). Reference analogue: the
+    batch loaders in etl/etl.py concatenate feeds in file order; this is
+    the LM-training equivalent over `documents`.
+    """
+    from pyspark.sql import Window
+
+    bounds = toks.agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+    width = F.greatest(
+        F.ceil((F.col("_hi") - F.col("_lo") + F.lit(1)) / F.lit(n_shards))
+        .cast("long"),
+        F.lit(1).cast("long"),
+    )
+    sharded = (
+        toks.crossJoin(F.broadcast(bounds))
+        .withColumn("_shard",
+                    F.floor((F.col(id_col) - F.col("_lo")) / width)
+                    .cast("long"))
+        .drop("_lo", "_hi")
+    )
+    local_w = (
+        Window.partitionBy("_shard").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("_local_end", F.sum(tokens_col).over(local_w))
+    # Exclusive running sum over the per-shard totals: <= n_shards rows,
+    # so the single-partition window here is aggregate-sized by design.
+    base_w = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        sharded.groupBy("_shard").agg(F.sum(tokens_col).alias("_tot"))
+        .withColumn("_base",
+                    F.coalesce(F.sum("_tot").over(base_w), F.lit(0)))
+        .select("_shard", "_base")
+    )
+    packed = (
+        local.join(F.broadcast(bases), "_shard")
+        .withColumn("offset_tokens",
+                    F.col("_base") + F.col("_local_end") - F.col(tokens_col))
+    )
+    return packed.select(
+        id_col, tokens_col,
+        F.floor(F.col("offset_tokens").cast("double") / budget)
+        .cast("long").alias("bin_id"),
+        (F.col("offset_tokens") % budget).cast("long").alias("offset_in_bin"),
+    )

@@ -1362,31 +1362,20 @@ PACK_BUDGET_TOKENS = 400
     description="Sequence packing for LM training: concatenate docs in a "
                 "deterministic order and split at a fixed token budget — "
                 "each doc gets its context-window bin and offset from a "
-                "running token prefix-sum (one global-order window; at "
-                "fact scale, per-shard prefix sums + a tiny shard-offset "
-                "broadcast give the same assignment without the global "
-                "window). Integer arithmetic end to end.",
+                "running token prefix-sum, computed as SHARDED per-range "
+                "window prefix sums + a tiny broadcast of per-shard base "
+                "offsets (no global-order window anywhere near the "
+                "corpus; see datapipe/corpus.py::pack_sequences). "
+                "Integer arithmetic end to end.",
     tags=("datapipe",),
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..datapipe.corpus import pack_sequences
     from ..functions.text import token_count
 
     docs = R.load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
-                                             Window.currentRow)
-    packed = toks.withColumn(
-        "offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
-    return packed.select(
-        "doc_id", "n_tokens",
-        F.floor(F.col("offset_tokens").cast("double") / PACK_BUDGET_TOKENS)
-        .cast("long").alias("bin_id"),
-        (F.col("offset_tokens") % PACK_BUDGET_TOKENS).cast("long")
-        .alias("offset_in_bin"),
-    )
+    return pack_sequences(toks, budget=PACK_BUDGET_TOKENS)
 
 
 DECONTAM_THRESHOLD = 0.8

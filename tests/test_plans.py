@@ -200,3 +200,17 @@ def test_operators_tolerate_degenerate_inputs(spark):
 
     no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup_components(no_pairs).count() == 0
+
+
+def test_sequence_packing_has_no_global_corpus_window(qmap, spark, sf_dir):
+    """The packing prefix sum must shard: the corpus-sized Window is
+    partitioned by the shard key (hash Exchange), never a SinglePartition
+    global sort. The only un-partitioned windowspec allowed is the
+    exclusive base-offset sum over the <= n_shards aggregate rows."""
+    plan = plan_of(qmap, spark, sf_dir, "q_sequence_packing")
+    # the big prefix sum: windowspecdefinition(_shard, doc_id ASC ...)
+    assert "windowspecdefinition(_shard" in plan
+    # no window ordered by doc_id WITHOUT the shard partition key
+    assert "windowspecdefinition(doc_id" not in plan
+    # the per-shard prefix sum runs behind a hash Exchange
+    assert "hashpartitioning(_shard" in plan
