@@ -171,6 +171,24 @@ def test_connected_components_chain_converges(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_500_node_path(spark):
+    """A 500-node path has diameter 499: O(diameter) label propagation
+    cannot finish in 20 rounds, the alternating large-star/small-star
+    rounds (O(log n)) must. Shuffled edge order, mixed orientation."""
+    import random
+
+    from real_big_data_project_spark.datapipe.components import connected_components
+
+    rng = random.Random(7)
+    raw = [(i, i + 1) if rng.random() < 0.5 else (i + 1, i) for i in range(499)]
+    rng.shuffle(raw)
+    edges = spark.createDataFrame(raw, "src long, dst long").repartition(8)
+    got = connected_components(edges, "src", "dst", max_iter=20)
+    rows = got.collect()
+    assert len(rows) == 500
+    assert all(r.component_id == 0 for r in rows)
+
+
 def test_dedup_components_groups_planted_copies(docs, corpus):
     """Every planted (original, copy) pair must land in one component with
     the original (smaller id) as keeper."""

@@ -176,3 +176,38 @@ def test_asof_join_matches_naive(spark, left_rows, right_rows):
         # operator contract: latest ts wins; among duplicate ts, max payload
         want[eid] = max(cands)[1] if cands else None
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, pairs):
+    """Star-rounds connected components == a plain Python union-find on
+    arbitrary small graphs (self-loops, duplicate edges, both
+    orientations all allowed)."""
+    from real_big_data_project_spark.datapipe.components import connected_components
+
+    edges = spark.createDataFrame(
+        pairs or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in (pairs or [(0, 0)]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
