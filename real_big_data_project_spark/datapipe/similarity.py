@@ -105,20 +105,31 @@ def ann_bucket_topk(
 CENTROID_ROUND = 6
 
 
-def ivf_centroids(
+def _with_lists(
     emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    list_col: str = "label",
+    id_col: str,
+    vec_col: str,
+    list_col: str,
+    lists: DataFrame | None,
 ) -> DataFrame:
+    """(id, label, v): attach the inverted-list assignment. `lists` is an
+    offline clustering output ((id, list_col) — e.g.
+    clustering.kmeans_assign); when absent, a `list_col` column already on
+    `emb` is used. The lists frame is cluster-count-bounded per vector
+    (one row each) and joins broadcast."""
+    if lists is None:
+        return emb.select(F.col(id_col), F.col(list_col).alias("label"),
+                          as_double(vec_col).alias("v"))
+    return emb.select(F.col(id_col), as_double(vec_col).alias("v")).join(
+        lists.select(F.col(id_col), F.col(list_col).alias("label")), id_col
+    )
+
+
+def _centroids(vecs: DataFrame) -> DataFrame:
     """(label, centroid) — elementwise mean of each inverted list's
-    members. `list_col` is the offline cluster assignment (IVF lists are
-    built by an offline k-means; the synthetic `label` column plays that
-    role). Dims exploded → one codegen'd avg aggregate → array rebuilt in
-    dim order. Centroids are ROUNDED so the probe-selection argmax is
-    reproducible across engines."""
-    vecs = emb.select(F.col(id_col), F.col(list_col).alias("label"),
-                      as_double(vec_col).alias("v"))
+    members from a (label, v) frame. Dims exploded → one codegen'd avg
+    aggregate → array rebuilt in dim order. Centroids are ROUNDED so the
+    probe-selection argmax is reproducible across engines."""
     dims = vecs.select(
         "label", F.posexplode("v").alias("dim", "val")
     )
@@ -132,6 +143,19 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """(label, centroid) for each inverted list — see _centroids. The
+    assignment comes from `lists` (offline k-means output) or an existing
+    `list_col` column."""
+    return _centroids(_with_lists(emb, id_col, vec_col, list_col, lists))
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -139,14 +163,16 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "label",
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: each query picks its nearest centroid (n_probe=1) and
     scans ONLY that inverted list — work per query is |corpus|/n_lists.
     Probe selection is a total ordering (rounded sim DESC, label ASC);
-    final ranking reuses the shared top-k contract."""
-    vecs = emb.select(F.col(id_col), F.col(list_col).alias("label"),
-                      as_double(vec_col).alias("v"))
-    cents = ivf_centroids(emb, id_col, vec_col, list_col)
+    final ranking reuses the shared top-k contract. Inverted lists come
+    from `lists` (an offline clustering, e.g. clustering.kmeans_assign)
+    or a pre-existing `list_col` column."""
+    vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
+    cents = _centroids(vecs)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )

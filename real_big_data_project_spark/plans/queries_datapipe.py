@@ -711,14 +711,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 4
+
+
+def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
+    """One assignment pass: nearest centroid by rounded squared-L2,
+    cluster-index tiebreak (mirrors clustering.py::_assign)."""
+    return f"""
+    {out}_d AS (
+      SELECT {vec_src}.vec_id, {vec_src}.v, cc.cluster,
+             round(list_sum(list_transform(range(1, len({vec_src}.v) + 1),
+                   j -> ({vec_src}.v[j] - cc.c[j]) * ({vec_src}.v[j] - cc.c[j]))),
+                   {5}) AS d
+      FROM {vec_src} CROSS JOIN {cent_src} cc
+    ),
+    {out} AS (
+      SELECT vec_id, v, cluster, d
+      FROM (
+        SELECT vec_id, v, cluster, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM {out}_d
+      ) WHERE rn = 1
+    )
+    """
+
+
+def _sql_kmeans_lists() -> str:
+    """CTE chain ending in `lv` = (vec_id, label, v) where label is the
+    two-pass k-means cluster — the offline IVF list build, unrolled
+    (identical to q_kmeans's oracle up to asg2)."""
+    return f"""
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    {_sql_kmeans_assign('vecs', 'init', 'asg1')},
+    kcents AS (
+      SELECT cluster, list(cval ORDER BY dim) AS c
+      FROM (
+        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM asg1, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY cluster, i
+      )
+      GROUP BY cluster
+    ),
+    {_sql_kmeans_assign('vecs', 'kcents', 'asg2')},
+    lv AS (SELECT vec_id, CAST(cluster AS INT) AS label, v FROM asg2)
+    """
+
+
 @register(
     "q_ann_ivf",
     oracle=f"""
     WITH {SQL_VECS},
-    lv AS (
-      SELECT vec_id, label, v FROM embeddings e
-      JOIN vecs USING (vec_id)
-    ),
+    {_sql_kmeans_lists()},
     cents AS (
       SELECT label,
              list(cval ORDER BY dim) AS centroid
@@ -756,16 +804,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
     FROM ranked WHERE rank <= 5
     """,
-    description="IVF ANN: inverted lists from the offline cluster "
-                "assignment (label), computed+rounded centroids, each "
-                "query probes only its nearest list (n_probe=1) — work "
-                "per query is |corpus|/n_lists; the data-driven "
-                "counterpart to the sign-LSH cells.",
+    description="IVF ANN with its inverted lists BUILT by the engine's "
+                "own k-means (clustering.kmeans_assign, two passes, "
+                "deterministic seeds) — the real offline composition, "
+                "not a synthetic assignment column. Computed+rounded "
+                "list centroids, each query probes only its nearest "
+                "list (n_probe=1) — work per query is |corpus|/n_lists; "
+                "the data-driven counterpart to the sign-LSH cells.",
     tags=("datapipe",),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.clustering import kmeans_assign
+
     emb = R.load_table(spark, sf_dir, "embeddings")
-    out = SIM.ann_ivf_topk(emb, ANN_QUERY_IDS, k=5)
+    lists = kmeans_assign(emb, k=KMEANS_K, n_assign=2).select(
+        "vec_id", F.col("cluster").alias("label")
+    )
+    out = SIM.ann_ivf_topk(emb, ANN_QUERY_IDS, k=5, lists=lists)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
     )
@@ -895,32 +950,6 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = R.load_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs)
-
-
-KMEANS_K = 4
-
-
-def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
-    """One assignment pass: nearest centroid by rounded squared-L2,
-    cluster-index tiebreak (mirrors clustering.py::_assign)."""
-    return f"""
-    {out}_d AS (
-      SELECT {vec_src}.vec_id, {vec_src}.v, cc.cluster,
-             round(list_sum(list_transform(range(1, len({vec_src}.v) + 1),
-                   j -> ({vec_src}.v[j] - cc.c[j]) * ({vec_src}.v[j] - cc.c[j]))),
-                   {5}) AS d
-      FROM {vec_src} CROSS JOIN {cent_src} cc
-    ),
-    {out} AS (
-      SELECT vec_id, v, cluster, d
-      FROM (
-        SELECT vec_id, v, cluster, d,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d ASC, cluster ASC) AS rn
-        FROM {out}_d
-      ) WHERE rn = 1
-    )
-    """
 
 
 @register(
