@@ -100,6 +100,27 @@ def q_scan_pickle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshots(spark, path)
 
 
+@register(
+    "q_scan_excel",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="S3 — `.xlsx` scan via the stdlib zip+XML codec "
+                "(pd.read_excel parity, etl/etl.py:510-511): nation "
+                "roundtripped through two xlsx files, decoded "
+                "executor-side with binaryFile + mapInPandas.",
+)
+def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.excel_source import (
+        NATION_SCHEMA,
+        ensure_nation_xlsx,
+        read_excel_dir,
+    )
+
+    path = ensure_nation_xlsx(spark, sf_dir)
+    return read_excel_dir(spark, path, NATION_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / scalar cleansing
 # ---------------------------------------------------------------------------

@@ -102,15 +102,11 @@ def test_approx_distinct_within_tolerance(qmap, spark, sf_dir):
 
 
 def test_excel_source_contract(spark):
-    """S3: decodes via pandas when openpyxl exists, else a clear,
-    actionable NotImplementedError (stub contract)."""
+    """S3: the stdlib zip+XML codec is always available (no openpyxl
+    gate); full behavior is covered in tests/test_excel.py."""
     from real_big_data_project_spark.sources import excel_source as X
 
-    if not X.HAS_EXCEL:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            X.read_excel_listing(spark, "/nonexistent.xlsx")
-    else:  # pragma: no cover - environment-dependent
-        pass
+    assert X.HAS_EXCEL
 
 
 def test_file_ledger_incremental_gate(spark):
