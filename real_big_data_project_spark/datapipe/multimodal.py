@@ -118,6 +118,140 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real codec: 24-bit BMP (pure struct — no PIL needed). One real format so
+# decode correctness is oracle-checkable; the pluggable stub above remains
+# for formats whose codecs aren't in this container.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, base: int) -> bytes:
+    """Encode a width×height 24-bit BMP whose grayscale pixel at image
+    coordinate (x, y) is ``base + x + y`` (callers keep base + w + h < 256
+    so no wraparound). Bottom-up row order, rows padded to 4 bytes — the
+    standard layout any real decoder must handle."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            v = base + x + y
+            body += bytes((v, v, v))  # B, G, R
+        body += b"\x00" * pad
+    img_size = len(body)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decoder: parse the BMP headers + pixel array with ``struct``
+    and return (width, height, 8 grayscale features):
+
+    [mean, min, max, first-row mean, last-row mean, first-col mean,
+     last-col mean, n_pixels] — each a plain pixel statistic a real
+    feature extractor would start from, and each closed-form predictable
+    for the generator above, so the whole decode sits under a DuckDB
+    oracle. Handles bottom-up and top-down (negative height) layouts and
+    row padding."""
+    import struct
+
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+
+    rows: list[list[int]] = []
+    for stored in range(height):
+        y = stored if top_down else height - 1 - stored
+        off = data_offset + stored * stride
+        # grayscale = blue channel (r==g==b for our generator; a real
+        # extractor would weight channels — same plumbing)
+        row = [payload[off + 3 * x] for x in range(width)]
+        while len(rows) <= y:
+            rows.append([])
+        rows[y] = row
+
+    n = width * height
+    flat = [v for row in rows for v in row]
+    mean = sum(flat) / n
+    feats = [
+        mean,
+        float(min(flat)),
+        float(max(flat)),
+        sum(rows[0]) / width,
+        sum(rows[-1]) / width,
+        sum(r[0] for r in rows) / height,
+        sum(r[-1] for r in rows) / height,
+        float(n),
+    ]
+    return width, height, [round(f, 6) for f in feats]
+
+
+def bmp_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic real-BMP asset table from `documents`: doc_id drives
+    width = 4 + id%13, height = 3 + id%7, base gray = id%193 (so
+    base + w + h < 256 — no wraparound and the pixel stats are closed
+    form). Encoding runs executor-side via mapInPandas, exactly where a
+    real transcode stage would."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                encode_bmp(4 + int(d) % 13, 3 + int(d) % 7, int(d) % 193)
+                for d in ids
+            ]
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "modality": "image",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+                "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+            })
+
+    return docs.select("doc_id").mapInPandas(encode, schema=ASSET_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    FEATURES_SCHEMA.fields[:2]
+    + [T.StructField("n_bytes", T.LongType(), True)]
+    + FEATURES_SCHEMA.fields[2:]
+)
+
+
+def extract_bmp_features(assets: DataFrame) -> DataFrame:
+    """Same one-pass mapInPandas stage as ``extract_features`` but with the
+    REAL BMP decoder — this is the oracled path. Carries ``n_bytes``
+    through so encoder output size and decoder stats come out of ONE
+    map-only stage (no join-back shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_bmp(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].astype("int64"),
+                "modality": pdf["modality"],
+                "n_bytes": pdf["n_bytes"].astype("int64"),
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "features": [d[2] for d in decoded],
+            })
+
+    return assets.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video frame-sampling plumbing: explode one row per sampled "frame"
     offset. With a real container parser the offsets would come from the

@@ -711,6 +711,65 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h,
+             doc_id % 193 AS b
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           round(b + (w - 1) / 2.0 + (h - 1) / 2.0, 6) AS f_mean,
+           round(CAST(b AS DOUBLE), 6) AS f_min,
+           round(CAST(b + w + h - 2 AS DOUBLE), 6) AS f_max,
+           round(b + (w - 1) / 2.0, 6) AS f_row_first,
+           round(b + (w - 1) / 2.0 + h - 1, 6) AS f_row_last,
+           round(b + (h - 1) / 2.0, 6) AS f_col_first,
+           round(b + (h - 1) / 2.0 + w - 1, 6) AS f_col_last,
+           CAST(w * h AS DOUBLE) AS f_n_pixels
+    FROM geom
+    """,
+    description="REAL image decode under an oracle: encode each doc as a "
+                "24-bit BMP (pure struct, executor-side mapInPandas), then "
+                "decode headers + pixel array back and emit pixel statistics. "
+                "The generator's pixel value is closed-form in doc_id, so "
+                "DuckDB predicts every decoded stat exactly — this is the "
+                "oracled counterpart of the pluggable-codec stub path "
+                "(q_multimodal_features). Ref etl parity: multimodal ingest "
+                "is an extension beyond the reference surface.",
+    tags=("datapipe", "multimodal"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe import multimodal as MM
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    feats = MM.extract_bmp_features(MM.bmp_assets(docs))
+    return (
+        feats.select(
+            "asset_id",
+            "modality",
+            "width",
+            "height",
+            "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("f_mean"),
+            F.round(F.element_at("features", 2), 6).alias("f_min"),
+            F.round(F.element_at("features", 3), 6).alias("f_max"),
+            F.round(F.element_at("features", 4), 6).alias("f_row_first"),
+            F.round(F.element_at("features", 5), 6).alias("f_row_last"),
+            F.round(F.element_at("features", 6), 6).alias("f_col_first"),
+            F.round(F.element_at("features", 7), 6).alias("f_col_last"),
+            F.round(F.element_at("features", 8), 6).alias("f_n_pixels"),
+        )
+    )
+
+
 KMEANS_K = 4
 
 

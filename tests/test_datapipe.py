@@ -140,6 +140,46 @@ def test_multimodal_features_deterministic_and_shaped(docs):
     assert {r.modality for r in f1} == {"image", "audio", "video"}
 
 
+def test_bmp_codec_roundtrip_and_layouts():
+    """The REAL BMP codec: encode→decode must recover dimensions and the
+    closed-form pixel stats, for padded widths and both row orders."""
+    import struct
+
+    for w, h, b in [(4, 3, 0), (5, 4, 100), (16, 9, 190), (1, 1, 7)]:
+        payload = MM.encode_bmp(w, h, b)
+        assert len(payload) == 54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h
+        gw, gh, feats = MM.decode_bmp(payload)
+        assert (gw, gh) == (w, h)
+        expect = [
+            b + (w - 1) / 2 + (h - 1) / 2, b, b + w + h - 2,
+            b + (w - 1) / 2, b + (w - 1) / 2 + h - 1,
+            b + (h - 1) / 2, b + (h - 1) / 2 + w - 1, w * h,
+        ]
+        assert feats == [round(float(x), 6) for x in expect]
+
+    # Top-down (negative height) variant must decode identically once rows
+    # are stored top-first.
+    p = bytearray(MM.encode_bmp(3, 2, 10))
+    struct.pack_into("<i", p, 22, -2)
+    stride = 9 + (4 - 9 % 4) % 4
+    body = bytes(p[54:])
+    p[54:54 + stride] = body[stride:2 * stride]
+    p[54 + stride:54 + 2 * stride] = body[:stride]
+    assert MM.decode_bmp(bytes(p)) == MM.decode_bmp(MM.encode_bmp(3, 2, 10))
+
+
+def test_bmp_assets_decode_distributed(docs):
+    """End-to-end executor-side encode→decode: every decoded row must match
+    the doc_id-driven geometry."""
+    out = MM.extract_bmp_features(MM.bmp_assets(docs)).collect()
+    assert out
+    for r in out:
+        assert r.width == 4 + r.asset_id % 13
+        assert r.height == 3 + r.asset_id % 7
+        assert r.features[7] == float(r.width * r.height)
+        assert r.features[1] == float(r.asset_id % 193)
+
+
 def test_frame_sample_counts(docs):
     assets = MM.synthetic_assets(docs)
     frames = MM.frame_sample(assets, every_n_bytes=64)
