@@ -120,12 +120,17 @@ def weighted_sample_take(
     (TakeOrderedAndProject: per-partition heaps, no global sort); the key
     is rounded so the cross-engine oracle ranks identically (pow/ln libm
     implementations may differ in the last ulp).
+
+    Weights must be positive; fractional weights (quality scores in
+    (0, 1]) are honored as-is. Non-positive weights are clamped to a tiny
+    epsilon — the E–S limit as w→0+ is "never sampled", so w ≤ 0 rows
+    sort to the very end instead of poisoning the key with ±inf.
     """
     hex8 = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
     )
     u = (F.conv(hex8, 16, 10).cast("long") + 1) / F.lit(4294967296.0)
-    w = F.greatest(F.col(weight_col), F.lit(1))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
     key = F.round(-F.log(u) / w, ES_KEY_ROUND)
     top = (
         df.withColumn("es_key", key)

@@ -90,7 +90,19 @@ def salted_equi_join(
     Use when AQE's skew-join splitting isn't available (e.g. the join
     feeds an operator that pins partitioning) or the small side is too
     big to broadcast but cheap to replicate. Result equals
-    big.join(small, on, how) exactly (tested)."""
+    big.join(small, on, how) exactly (tested) — for the supported `how`
+    values only: right/full outer would emit each unmatched small-side
+    row once per salt (the small side is exploded n_salts×), so those
+    modes are rejected rather than silently wrong."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_equi_join does not support how={how!r}: unmatched "
+            "small-side rows would be duplicated per salt; use a plain "
+            "join (or AQE skew handling) for right/full outer joins"
+        )
     b = big.withColumn("_salt", with_salt(F.col(big_row_unique), n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))

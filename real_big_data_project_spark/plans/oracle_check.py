@@ -72,8 +72,18 @@ def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.astype(bool)
         elif pd.api.types.is_integer_dtype(col):
             df[c] = col.astype("int64")
-    sort_cols = list(df.columns)
-    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    # Row alignment: sort on non-float columns first so a last-ulp
+    # cross-engine float difference in a sort-prefix column can't align
+    # the two frames differently; floats participate only as tiebreaks,
+    # rounded to the comparison tolerance.
+    exact_cols = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    float_cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    rounded = {f"_sort_{c}": df[c].round(6) for c in float_cols}
+    for k, v in rounded.items():
+        df[k] = v
+    sort_cols = exact_cols + list(rounded)
+    out = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return out.drop(columns=list(rounded))
 
 
 def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> CompareResult:

@@ -1701,6 +1701,58 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trend_slope_sql",
+    oracle="""
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS slope
+    FROM (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(TIMESTAMP '1995-01-01') AS DOUBLE)
+                 / 1000000.0 / 86400.0 AS x,
+               value AS y
+        FROM events
+      )
+      GROUP BY user_id
+    )
+    WHERE n * sxx - sx * sx != 0
+    """,
+    description="Production variant of q_trend_slope: the same per-series "
+                "OLS slope as ONE codegen'd hash aggregate (five partial "
+                "sums with map-side combine) instead of the Arrow "
+                "grouped-map round trip. This is the idiom to ship at "
+                "100 TB; the applyInPandas twin stays as the Python-API "
+                "demo.",
+)
+def q_trend_slope_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    base = F.lit("1995-01-01").cast("timestamp_ntz")
+    x = ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.unix_micros(base.cast("timestamp"))) / 1_000_000.0 / 86400.0)
+    y = F.col("value")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        agg.filter(den != 0)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(num / den, 5).alias("slope"),
+        )
+    )
+
+
+@register(
     "q_scd2_intervals",
     oracle="""
     WITH marked AS (

@@ -1599,7 +1599,7 @@ WSAMPLE_N = 50
              round(-ln((CAST(concat('0x',
                      substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) + 1) / 4294967296.0)
-                   / greatest(n_chars, 1), 8) AS es_key
+                   / greatest(CAST(n_chars AS DOUBLE), 1e-12), 8) AS es_key
       FROM documents
     )
     SELECT doc_id, n_chars, es_key, CAST(rnk AS INT) AS rnk

@@ -35,8 +35,9 @@ MALFORMED_LINES = (
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(ARTIFACTS, f"nation_tsv_{tag}")
+    from .registry import fixture_tag
+
+    return os.path.join(ARTIFACTS, f"nation_tsv_{fixture_tag(sf_dir)}")
 
 
 def ensure_nation_tsv(spark: SparkSession, sf_dir: str) -> str:

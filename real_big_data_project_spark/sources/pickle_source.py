@@ -44,8 +44,9 @@ _FILENAME_RE = r"([^/]+) (\d{4}-\d{2}-\d{2}) (\d{2}_\d{2}_\d{2})\.bz2$"
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(ARTIFACTS, f"snapshots_{tag}")
+    from .registry import fixture_tag
+
+    return os.path.join(ARTIFACTS, f"snapshots_{fixture_tag(sf_dir)}")
 
 
 def ensure_snapshot_fixture(sf_dir: str) -> str:

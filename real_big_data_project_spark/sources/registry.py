@@ -13,10 +13,21 @@ FIXTURES.md §B).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_session_confs
+
+
+def fixture_tag(sf_dir: str) -> str:
+    """Artifact-cache tag for a scale-factor dir: readable basename plus a
+    short hash of the ABSOLUTE path, so two sf dirs sharing a basename
+    (different parents) can never reuse each other's stale fixtures."""
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    return f"{os.path.basename(norm)}_{hashlib.sha1(norm.encode()).hexdigest()[:10]}"
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",

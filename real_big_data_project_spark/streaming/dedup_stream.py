@@ -36,8 +36,9 @@ _ARTIFACTS = os.path.join(
 def duplicated_landing_dir(sf_dir: str) -> str:
     """A landing directory holding the events file TWICE (idempotently
     built under _artifacts/) — the at-least-once delivery fixture."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_ARTIFACTS, f"dedup_landing_{tag}")
+    from ..sources.registry import fixture_tag
+
+    out = os.path.join(_ARTIFACTS, f"dedup_landing_{fixture_tag(sf_dir)}")
     src = os.path.join(sf_dir, "events.parquet")
     os.makedirs(out, exist_ok=True)
     for name in ("events_a.parquet", "events_b.parquet"):
