@@ -70,3 +70,64 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    num_writers: int | None = None,
+    isolation_level: str = "READ_COMMITTED",
+) -> None:
+    """S6's database twin: bulk-load a DataFrame into a JDBC table — the
+    Spark restatement of the reference's ``COPY FROM STDIN`` loader
+    (etl/timescaledb_model.py:29-57, df_write batching etl/etl.py:617).
+
+    Each partition opens one connection and streams batched INSERTs
+    (``batchsize`` rows per round trip — the COPY-analog knob). The write
+    is distributed: parallelism = #partitions, so `num_writers` is the
+    back-pressure control — at cluster scale cap it well below the
+    database's max_connections instead of letting 1000 executors pile in.
+    """
+    writer_df = df.coalesce(num_writers) if num_writers else df
+    w = (
+        writer_df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation_level)
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """JDBC scan (S7's database twin). Pass `partition_column` + bounds to
+    split the scan into `num_partitions` range predicates executed in
+    parallel — without it a JDBC read is ONE connection streaming the
+    whole table, which is the classic single-task bottleneck at scale.
+    Catalyst pushes filters/projections into the generated SQL."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return r.load()

@@ -152,3 +152,31 @@ def test_csv_quarantine_captures_malformed_lines(spark, sf_dir):
     bad = [r._corrupt_record for r in quarantine.collect()]
     assert len(bad) == 2
     assert any("no tabs" in b for b in bad)
+
+
+def test_jdbc_sink_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
+    """S6's database twin (the reference COPY loader's analogue) against
+    the in-process Derby engine shipped with Spark: append must
+    accumulate, overwrite must replace, and a partitioned read must
+    split the scan into parallel range predicates."""
+    from real_big_data_project_spark.sources.sinks import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n = nation.count()
+
+    write_jdbc(nation, url, "nation_tbl", mode="overwrite", driver=driver)
+    write_jdbc(nation, url, "nation_tbl", mode="append", driver=driver)
+    assert read_jdbc(spark, url, "nation_tbl", driver=driver).count() == 2 * n
+
+    write_jdbc(nation, url, "nation_tbl", mode="overwrite", driver=driver)
+    back = read_jdbc(
+        spark, url, "nation_tbl", driver=driver,
+        partition_column="n_nationkey", lower_bound=0, upper_bound=30,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
