@@ -48,3 +48,31 @@ def test_insert_overwrite_is_the_update_analogue(spark, table):
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
     rows = {r.cid: r.value for r in spark.sql(f"SELECT * FROM {table}").collect()}
     assert rows == {1: 0.0, 2: 20.0, 3: 0.0}
+
+
+def test_tags_kv_set_get_overwrite_delete_compact(spark):
+    """The reference's tags KV table (name VARCHAR PRIMARY KEY, value
+    VARCHAR) as an append-only last-write-wins log: upsert, overwrite,
+    tombstone delete, and compaction must all resolve correctly."""
+    from real_big_data_project_spark.sources import tags as TG
+
+    tbl = "tags_test_kv"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert TG.get_tag(spark, "schema_version", table=tbl) is None
+
+    TG.set_tag(spark, "schema_version", "1", table=tbl)
+    TG.set_tag(spark, "watermark", "2024-01-01", table=tbl)
+    TG.set_tag(spark, "schema_version", "2", table=tbl)  # overwrite
+    assert TG.get_tag(spark, "schema_version", table=tbl) == "2"
+    assert TG.get_tag(spark, "watermark", table=tbl) == "2024-01-01"
+    assert {(r.name, r.value) for r in TG.tags_df(spark, table=tbl).collect()} \
+        == {("schema_version", "2"), ("watermark", "2024-01-01")}
+
+    TG.delete_tag(spark, "watermark", table=tbl)
+    assert TG.get_tag(spark, "watermark", table=tbl) is None
+
+    TG.compact_tags(spark, table=tbl)
+    log = spark.table(tbl).collect()
+    assert {(r.name, r.value, r.seq) for r in log} == {("schema_version", "2", 1)}
+    assert TG.get_tag(spark, "schema_version", table=tbl) == "2"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
