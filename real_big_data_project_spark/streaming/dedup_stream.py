@@ -16,7 +16,6 @@ once — which is why the DuckDB oracle for the catalog entry is simply
 
 from __future__ import annotations
 
-import itertools
 import os
 import shutil
 
@@ -25,7 +24,6 @@ from pyspark.sql import functions as F
 
 from .ohlcv_stream import EVENTS_RAW_SCHEMA
 
-_sink_ids = itertools.count()
 
 _ARTIFACTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -69,22 +67,9 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = ticks.join(F.broadcast(dim), on="user_id", how="left").select(
         "event_id", "user_id", "c_name", "value"
     )
-    name = f"enrich_stream_sink_{next(_sink_ids)}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    return spark.table(name)
+    from .drain import drain_available_now
+
+    return drain_available_now(enriched, "append", "enrich")
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
@@ -107,22 +92,9 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"dedup_stream_sink_{next(_sink_ids)}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    out = spark.table(name)
+    from .drain import drain_available_now
+
+    out = drain_available_now(deduped, "append", "dedup")
     # recover the engine's session-tz-independent NTZ timestamps
     return out.withColumn(
         "ts",

@@ -17,7 +17,6 @@ oracle can check.
 
 from __future__ import annotations
 
-import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,8 +33,6 @@ EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("value", T.DoubleType(), True),
     T.StructField("props", T.StringType(), True),
 ])
-
-_sink_ids = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,27 +94,14 @@ def ohlcv_daily_stream(
 
 
 def run_ohlcv_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the whole source once (availableNow) into a memory sink and
-    return the result as a batch DataFrame — the local/test harness for
-    the streaming pipeline, and proof that the streaming plan computes
-    exactly the batch OHLCV."""
+    """Drain the whole source once (availableNow) through the distributed
+    foreachBatch→parquet drain and return the result as a batch DataFrame
+    — the local/test harness for the streaming pipeline, and proof that
+    the streaming plan computes exactly the batch OHLCV."""
+    from .drain import drain_available_now
+
     ticks = read_events_stream(spark, sf_dir).withColumn(
         "volume", (F.col("event_id") % 1000 + 1).cast("long")
     )
     bars = ohlcv_daily_stream(ticks)
-    name = f"ohlcv_stream_sink_{next(_sink_ids)}"
-    q = (
-        bars.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    return spark.table(name)
+    return drain_available_now(bars, "complete", "ohlcv")

@@ -14,14 +14,12 @@ test feed.
 
 from __future__ import annotations
 
-import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ohlcv_stream import read_events_stream
 
-_sink_ids = itertools.count()
 
 _NTZ = (
     "timestampadd(MICROSECOND, unix_micros({c}),"
@@ -47,22 +45,9 @@ def run_streaming_sessions(
             F.max("ts").alias("last_ts"),
         )
     )
-    name = f"session_stream_sink_{next(_sink_ids)}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    out = spark.table(name)
+    from .drain import drain_available_now
+
+    out = drain_available_now(sess, "complete", "sessions")
     # recover session-tz-independent NTZ bounds (first/last event, not the
     # gap-padded window end)
     return out.select(

@@ -16,7 +16,6 @@ with the batch lag query under any session timezone.
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,8 +41,6 @@ STATE_SCHEMA = T.StructType([
     T.StructField("last_ts", T.LongType()),
     T.StructField("last_value", T.DoubleType()),
 ])
-
-_sink_ids = itertools.count()
 
 
 def _running_pct_change(
@@ -111,19 +108,7 @@ def run_stateful_pct_change(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stateful_pct_sink_{next(_sink_ids)}"
-    q = (
-        changed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    return spark.table(name).withColumn("ts", F.expr(_TS_FROM_NANOS))
+    from .drain import drain_available_now
+
+    out = drain_available_now(changed, "append", "stateful_pct")
+    return out.withColumn("ts", F.expr(_TS_FROM_NANOS))

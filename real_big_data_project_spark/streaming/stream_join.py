@@ -16,14 +16,12 @@ bounded by (arrival rate × horizon) per key, independent of history.
 
 from __future__ import annotations
 
-import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ohlcv_stream import read_events_stream
 
-_sink_ids = itertools.count()
 
 _NTZ = (
     "timestampadd(MICROSECOND, unix_micros({c}),"
@@ -38,18 +36,22 @@ def run_stream_stream_attribution(
     watermark: str = "1 day",
 ) -> DataFrame:
     """(view_id, click_id, user_id, view_ts, click_ts): every click within
-    `window` after a view by the same user."""
+    `window` after a view by the same user.
+
+    Both sides derive from ONE streaming source (a stream-stream
+    self-join): the file listing/offset tracking is paid once, and in a
+    production landing zone the two sides are guaranteed to advance in
+    lock-step instead of racing two independent readers."""
+    ev = read_events_stream(spark, sf_dir)
     views = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        ev.filter(F.col("event_type") == "view")
         .select(F.col("event_id").alias("view_id"),
                 F.col("user_id").alias("v_user"),
                 F.col("ts").alias("view_ts"))
         .withWatermark("view_ts", watermark)
     )
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("click_id"),
                 F.col("user_id").alias("c_user"),
                 F.col("ts").alias("click_ts"))
@@ -62,22 +64,9 @@ def run_stream_stream_attribution(
         & (F.col("click_ts") <= F.expr(f"view_ts + INTERVAL {window}")),
         "inner",
     )
-    name = f"attr_stream_sink_{next(_sink_ids)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow drains finish in seconds; cap the wait so a stalled
-        # source fails loudly instead of hanging the whole harness run
-        if not q.awaitTermination(300):
-            raise TimeoutError(f"streaming drain {name!r} exceeded 300s")
-    finally:
-        q.stop()
-    out = spark.table(name)
+    from .drain import drain_available_now
+
+    out = drain_available_now(joined, "append", "attr")
     return out.select(
         "view_id", "click_id",
         F.col("v_user").alias("user_id"),
