@@ -644,7 +644,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH existing AS (SELECT * FROM supplier WHERE s_suppkey < 50),
          incoming AS (SELECT * FROM supplier WHERE s_suppkey >= 50),
          base AS (SELECT coalesce(max(s_suppkey), 0) AS b FROM existing)
-    SELECT cast(base.b + row_number() OVER (ORDER BY i.s_name DESC) AS INT) AS new_id,
+    SELECT cast(base.b + row_number() OVER (ORDER BY i.s_name DESC, i.s_suppkey)
+                AS INT) AS new_id,
            i.s_suppkey, i.s_name
     FROM incoming i CROSS JOIN base
     """,
@@ -662,7 +663,11 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming.select("s_suppkey", "s_name"),
         existing,
         id_col="id",
-        order=[F.col("s_name").desc()],
+        # s_suppkey tiebreak: names are unique in clean TPC-H data but a
+        # replicated/merged feed has collisions, and row_number over a
+        # non-total ordering is engine-dependent (caught by the sf1.0
+        # sweep — the scaled dataset repeats names across replicas).
+        order=[F.col("s_name").desc(), F.col("s_suppkey").asc()],
     )
     return out.select(F.col("id").alias("new_id"), "s_suppkey", "s_name")
 
@@ -1812,6 +1817,35 @@ def q_scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_nation_tsv(spark, sf_dir)
     clean, _quarantine = read_nation_tsv_with_quarantine(spark, path)
     return clean.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "q_scan_jdbc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="JDBC round-trip under the oracle (S6/S7's database twin, "
+                "the reference COPY loader + SQL source, "
+                "etl/timescaledb_model.py:29-57): nation is bulk-loaded "
+                "into an embedded Derby database with batched "
+                "per-partition INSERTs, then scanned back as a ranged "
+                "parallel JDBC read — the result must equal the parquet "
+                "table exactly.",
+)
+def q_scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import DERBY_DRIVER, ensure_nation_jdbc, read_jdbc
+
+    url = ensure_nation_jdbc(spark, sf_dir)
+    back = read_jdbc(
+        spark, url, "nation_jdbc", driver=DERBY_DRIVER,
+        partition_column="n_nationkey", lower_bound=0, upper_bound=30,
+        num_partitions=4,
+    )
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
 
 
 @register(

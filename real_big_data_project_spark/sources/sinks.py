@@ -105,6 +105,36 @@ def write_jdbc(
     w.mode(mode).save()
 
 
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def ensure_nation_jdbc(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently load `nation` into an embedded Derby database (the
+    in-process JDBC engine shipped with the Spark distribution) and
+    return its JDBC URL — the fixture for the oracled JDBC round-trip."""
+    import os
+
+    from .registry import fixture_tag, load_table
+
+    artifacts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "_artifacts",
+    )
+    db_dir = os.path.join(artifacts, f"derby_nation_{fixture_tag(sf_dir)}")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    marker = os.path.join(db_dir, ".loaded")
+    if not os.path.exists(marker):
+        os.makedirs(db_dir, exist_ok=True)
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        write_jdbc(nation, url, "nation_jdbc", mode="overwrite",
+                   driver=DERBY_DRIVER)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return url
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
