@@ -59,6 +59,11 @@ _RISKIEST: tuple[str, ...] = (
     "q_kmeans",
     "q_streaming_ohlcv",
     "q_stream_stream_join",
+    # round-3 additions — new operators go under the driver gate first
+    "q_multimodal_decode",
+    "q_scan_excel",
+    "q_scan_jdbc",
+    "q_trend_slope_sql",
 )
 
 
