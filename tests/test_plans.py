@@ -210,3 +210,20 @@ def test_sequence_packing_has_no_global_corpus_window(qmap, spark, sf_dir):
     assert "windowspecdefinition(doc_id" not in plan
     # the per-shard prefix sum runs behind a hash Exchange
     assert "hashpartitioning(_shard" in plan
+
+
+def test_trend_slope_sql_single_aggregate_exchange(qmap, spark, sf_dir):
+    """The production OLS slope is ONE hash aggregate with map-side
+    partials: exactly one Exchange, no Arrow/Python evaluation."""
+    plan = plan_of(qmap, spark, sf_dir, "q_trend_slope_sql")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2     # partial + final
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_multimodal_decode_is_shuffle_free(qmap, spark, sf_dir):
+    """BMP encode and decode are two chained mapInPandas stages over the
+    same partitioning — a pure map pipeline, no Exchange anywhere."""
+    plan = plan_of(qmap, spark, sf_dir, "q_multimodal_decode")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
