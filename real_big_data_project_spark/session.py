@@ -13,9 +13,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-# The driver-generated testdata uses parquet TIMESTAMP(NANOS) for events.ts,
-# which Spark only reads with this legacy conf (as a nanosecond long).
-# sources.registry converts it back to a timestamp column. Runtime-settable.
+# Some rounds of the driver-generated testdata store events.ts as parquet
+# TIMESTAMP(NANOS), which Spark only reads with this legacy conf (as a
+# nanosecond long); other rounds ship TIMESTAMP(MICROS), where the conf is
+# inert. sources.registry sniffs the footer and rebuilds a timestamp column
+# with the right divisor either way. Runtime-settable.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
 

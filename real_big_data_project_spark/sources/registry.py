@@ -13,6 +13,7 @@ FIXTURES.md §B).
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import os
 
@@ -24,21 +25,61 @@ from ..session import ensure_session_confs
 
 def fixture_tag(sf_dir: str) -> str:
     """Artifact-cache tag for a scale-factor dir: readable basename plus a
-    short hash of the ABSOLUTE path, so two sf dirs sharing a basename
-    (different parents) can never reuse each other's stale fixtures."""
+    short hash of the ABSOLUTE path and a stat signature (name, mtime,
+    size) of the dir's parquet files. Two sf dirs sharing a basename can
+    never collide, and a driver REGENERATION of the testdata in place
+    (same path, new files — it happens every round) invalidates every
+    derived fixture instead of silently serving stale copies."""
     norm = os.path.normpath(os.path.abspath(sf_dir))
-    return f"{os.path.basename(norm)}_{hashlib.sha1(norm.encode()).hexdigest()[:10]}"
+    h = hashlib.sha1(norm.encode())
+    for p in sorted(_glob.glob(os.path.join(norm, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return f"{os.path.basename(norm)}_{h.hexdigest()[:10]}"
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# events.ts is stored as parquet TIMESTAMP(NANOS); with nanosAsLong it scans
-# as a bigint of epoch-nanoseconds. Rebuild a timestamp_ntz purely
-# arithmetically (no session-timezone involvement) at microsecond precision:
-# the generator only emits whole microseconds, so `div 1000` is lossless.
-_TS_FROM_NANOS = "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+# events.ts has shipped as parquet TIMESTAMP(NANOS) in some rounds of the
+# driver-generated testdata (scanned as an epoch-nanos bigint under
+# nanosAsLong) and TIMESTAMP(MICROS) in others. Sniff the footer once per
+# path instead of hard-coding a unit: a raw int64 scan divided by the
+# sniffed divisor yields epoch-micros either way, and the NTZ rebuild is
+# purely arithmetic (no session-timezone involvement). The generator only
+# emits whole microseconds, so the ns->us division is lossless.
+
+
+def events_ts_divisor(path: str, glob_pat: str = "events.parquet") -> int:
+    """Divisor turning a raw int64 `ts` scan into epoch-MICROseconds:
+    1000 for a TIMESTAMP(NANOS) file, 1 for TIMESTAMP(MICROS).
+
+    `path` is the events parquet file, a scale-factor dir containing
+    `events.parquet`, or a landing dir of copies of it (first parquet in
+    sorted order decides — landing fixtures replicate one source file, so
+    units never mix within a dir)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        f = path
+    else:
+        cands = sorted(_glob.glob(os.path.join(path, glob_pat))) or sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+        )
+        if not cands:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+        f = cands[0]
+    unit = getattr(pq.read_schema(f).field("ts").type, "unit", "us")
+    return {"ns": 1000, "us": 1}[unit]
+
+
+def ts_long_to_ntz(divisor: int, col: str = "ts") -> str:
+    """SQL expr rebuilding TIMESTAMP_NTZ from a raw int64 epoch scan."""
+    return (
+        f"timestampadd(MICROSECOND, {col} div {divisor},"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,7 +87,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr(_TS_FROM_NANOS))
+        df = df.withColumn(
+            "ts", F.expr(ts_long_to_ntz(events_ts_divisor(sf_dir)))
+        )
     return df
 
 

@@ -85,9 +85,12 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
+    from ..sources.registry import events_ts_divisor
+
     landing = duplicated_landing_dir(sf_dir)
+    d = events_ts_divisor(landing)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {d}")))
     deduped = (
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -24,10 +24,12 @@ from pyspark.sql import types as T
 
 from ..session import ensure_session_confs
 
-# Physical schema of events.parquet under nanosAsLong (see sources/registry).
+# Physical schema of events.parquet scanned raw: `ts` as the int64 the
+# file actually stores (epoch nanos OR micros depending on the round's
+# testdata — sources/registry.events_ts_divisor sniffs which).
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),  # epoch nanos
+    T.StructField("ts", T.LongType(), True),  # raw epoch int64 (ns or us)
     T.StructField("user_id", T.LongType(), True),
     T.StructField("event_type", T.StringType(), True),
     T.StructField("value", T.DoubleType(), True),
@@ -44,6 +46,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic keeps every boundary session-timezone-independent (the
     grading driver probes with a hostile non-UTC session tz)."""
     ensure_session_confs(spark)
+    from ..sources.registry import events_ts_divisor
+
     # The file stream source wants a directory; glob-filter to the events
     # table (a real deployment points at a dedicated landing dir).
     raw = (
@@ -51,7 +55,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    d = events_ts_divisor(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {d}")))
 
 
 def ohlcv_daily_stream(

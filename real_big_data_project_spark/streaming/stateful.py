@@ -8,10 +8,11 @@ operator needs — the last (ts, value) per series — in Spark's GroupState
 store: Arrow-batched per-group UDF, incremental, restart-safe via the
 checkpoint, state size O(#series) regardless of stream length.
 
-Timestamps stay raw epoch-nanos LONGs through the stateful operator (no
-timezone semantics anywhere near the state or the Arrow boundary); the
-caller converts to TIMESTAMP_NTZ after, so results are bit-comparable
-with the batch lag query under any session timezone.
+Timestamps stay raw epoch int64 (ns or us, whatever the file stores)
+through the stateful operator (no timezone semantics anywhere near the
+state or the Arrow boundary); the caller converts to TIMESTAMP_NTZ
+after, so results are bit-comparable with the batch lag query under any
+session timezone.
 """
 
 from __future__ import annotations
@@ -25,13 +26,13 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import ensure_session_confs
-from ..sources.registry import _TS_FROM_NANOS
+from ..sources.registry import events_ts_divisor, ts_long_to_ntz
 from .ohlcv_stream import EVENTS_RAW_SCHEMA
 
 OUT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("user_id", T.LongType()),
-    T.StructField("ts", T.LongType()),          # epoch nanos
+    T.StructField("ts", T.LongType()),          # raw epoch int64 (ns or us)
     T.StructField("value", T.DoubleType()),
     T.StructField("prev_value", T.DoubleType()),
     T.StructField("pct_change", T.DoubleType()),
@@ -111,4 +112,6 @@ def run_stateful_pct_change(
     from .drain import drain_available_now
 
     out = drain_available_now(changed, "append", "stateful_pct")
-    return out.withColumn("ts", F.expr(_TS_FROM_NANOS))
+    return out.withColumn(
+        "ts", F.expr(ts_long_to_ntz(events_ts_divisor(sf_dir, glob)))
+    )

@@ -16,8 +16,9 @@ shifted -- series count grows 10x while per-series length stays fixed,
 matching how a bigger market feed actually grows.
 
 pyarrow end-to-end: preserves the physical types the engine's source
-layer depends on (events.ts stays TIMESTAMP(NANOS) so the nanosAsLong
-path is exercised identically at every scale).
+layer depends on (events.ts keeps the SOURCE file's timestamp unit —
+ns or us, whichever this round's driver generated — so the sniffing
+source path is exercised identically at every scale).
 """
 
 from __future__ import annotations
@@ -92,7 +93,11 @@ def scale_table(src: str, dst: str, tbl: str, strides: dict[str, int]) -> int:
         n_chars = pc.cast(pc.utf8_length(scaled["text"]), pa.int64())
         idx = scaled.column_names.index("n_chars")
         scaled = scaled.set_column(idx, scaled.schema.field("n_chars"), n_chars)
-    pq.write_table(scaled, os.path.join(dst, f"{tbl}.parquet"))
+    # version 2.6 can store ns timestamps; without it pyarrow silently
+    # coerces ns -> us and the scale-up would not exercise the same
+    # source path as the original file
+    pq.write_table(scaled, os.path.join(dst, f"{tbl}.parquet"),
+                   version="2.6")
     return scaled.num_rows
 
 
@@ -112,9 +117,10 @@ def main() -> None:
     for tbl in SCALED_TABLES:
         n = scale_table(src, dst, tbl, strides)
         print(f"{tbl}: scaled to {n}")
-    # physical-type parity check on the nanos-sensitive column
+    # physical-type parity check on the unit-sensitive column
+    src_ts = pq.read_schema(os.path.join(src, "events.parquet")).field("ts").type
     ts_type = pq.read_schema(os.path.join(dst, "events.parquet")).field("ts").type
-    assert str(ts_type) == "timestamp[ns]", ts_type
+    assert ts_type == src_ts, (src_ts, ts_type)
     print("events.ts type preserved:", ts_type)
 
 
