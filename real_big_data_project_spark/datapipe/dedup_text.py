@@ -22,8 +22,15 @@ from pyspark.sql import functions as F
 from ..functions.hashing import normalized_tokens, word_shingles
 from ..functions.text import fingerprint
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 4 bands × 8 bits: hamming ≤ 3 ⇒ ≥1 identical band
+# 64-bit fingerprint in 4 bands of 16 bits: hamming ≤ 3 ⇒ ≥1 identical
+# band (pigeonhole). Band width is the scale lever: an 8-bit band has only
+# 256 distinct values, so every bucket holds n/256 docs and candidates grow
+# O(n²/256) — degenerate at any real corpus size (and measured so on a
+# low-token-diversity corpus: 1.1M candidate pairs at 8k docs). 16-bit
+# bands give 65k buckets, and 64 fingerprint bits make hamming ≤ 3 mean
+# real near-duplication instead of short-doc hash noise.
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -197,15 +204,20 @@ def ngram_jaccard_pairs(
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """Per-doc 32-bit SimHash as (doc_id, sig: '0'/'1'×32, sig_int: long).
+    """Per-doc 64-bit SimHash as (doc_id, sig: '0'/'1'×64, sig_hi, sig_lo).
 
-    Same fingerprint definition as functions/hashing.py::simhash32_bits
-    (bit p = sign of the ±1 vote over tokens of the high bit of md5 hex
-    nibble p), but computed in the shape that scales: tokens EXPLODED, one
-    md5 per token, the per-nibble high bits pulled out of four 32-bit
-    integer chunks with shifts, and all 32 vote counts produced by ONE
-    codegen'd hash aggregate. The HOF-fold formulation recomputed md5 per
-    bit position and ran interpreted — ~100× slower at sf0.1.
+    Same fingerprint definition as functions/hashing.py::simhash64_bits
+    (bit p ≤ 32 = sign of the ±1 vote over tokens of the HIGH bit of md5
+    hex nibble p; bit p > 32 = the same vote of the SECOND bit of nibble
+    p−32 — one md5 yields all 64 independent bits), but computed in the
+    shape that scales: tokens EXPLODED, one md5 per token, the nibble bits
+    pulled out of four 32-bit integer chunks with shifts, and all 64 vote
+    counts produced by ONE codegen'd hash aggregate. The HOF-fold
+    formulation recomputed md5 per bit position and ran interpreted —
+    ~100× slower at sf0.1.
+
+    The integer form is split (sig_hi = bits 1–32, sig_lo = bits 33–64) so
+    each half stays in non-negative long range — no sign games with bit 63.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -218,8 +230,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
     count_cols = []
     for p in range(1, SIMHASH_BITS + 1):
-        k, j = (p - 1) // 8, (p - 1) % 8
-        shift = (7 - j) * 4 + 3  # high bit of the j-th hex nibble in chunk k
+        nib = (p - 1) % 32          # which of the 32 hex nibbles
+        k, j = nib // 8, nib % 8    # 8-hex-char chunk, nibble within it
+        # bit 3 (high) of the nibble for positions 1..32, bit 2 for 33..64
+        shift = (7 - j) * 4 + (3 if p <= 32 else 2)
         bit = F.shiftright(F.col(f"_h{k}"), shift).bitwiseAND(F.lit(1))
         count_cols.append(F.sum(bit).alias(f"c{p}"))
     votes = chunks.groupBy("doc_id").agg(F.count("*").alias("n"), *count_cols)
@@ -229,11 +243,18 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         for p in range(1, SIMHASH_BITS + 1)
     ]
     sig = F.concat(*[b.cast("string") for b in bits])
-    sig_int = sum(
-        (b * F.lit(1 << (SIMHASH_BITS - p))).cast("long")
-        for p, b in enumerate(bits, start=1)
+    sig_hi = sum(
+        (b * F.lit(1 << (32 - p))).cast("long")
+        for p, b in enumerate(bits[:32], start=1)
     )
-    return votes.select("doc_id", sig.alias("sig"), sig_int.alias("sig_int"))
+    sig_lo = sum(
+        (b * F.lit(1 << (32 - p))).cast("long")
+        for p, b in enumerate(bits[32:], start=1)
+    )
+    return votes.select(
+        "doc_id", sig.alias("sig"),
+        sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo"),
+    )
 
 
 def simhash_near_pairs(
@@ -244,11 +265,12 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (doc_a < doc_b, hamming ≤ max_hamming).
 
-    32-bit fingerprint, blocked on 4 bands of 8 bits: any pair within
+    64-bit fingerprint, blocked on 4 bands of 16 bits: any pair within
     Hamming distance 3 shares at least one exact band (pigeonhole), so the
-    band join finds ALL qualifying pairs — no recall loss, one shuffle.
-    Hamming is bit_count(xor) on the integer form — codegen'd bit ops in
-    the join, never an interpreted per-character fold.
+    band join finds ALL qualifying pairs — no recall loss, one shuffle,
+    and 65k distinct values per band keep bucket fan-out sublinear.
+    Hamming is bit_count(xor) on the two integer halves — codegen'd bit
+    ops in the join, never an interpreted per-character fold.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     sig = simhash_signatures(docs, id_col, text_col)
@@ -256,7 +278,9 @@ def simhash_near_pairs(
         F.concat(F.lit(f"b{i}:"), F.substring("sig", i * width + 1, width))
         for i in range(SIMHASH_BANDS)
     ])
-    bands = sig.select("doc_id", "sig_int", F.explode(band_keys).alias("band"))
+    bands = sig.select(
+        "doc_id", "sig_hi", "sig_lo", F.explode(band_keys).alias("band")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -264,12 +288,15 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig_int").alias("int_a"),
-            F.col("b.sig_int").alias("int_b"),
+            F.col("a.sig_hi").alias("hi_a"), F.col("a.sig_lo").alias("lo_a"),
+            F.col("b.sig_hi").alias("hi_b"), F.col("b.sig_lo").alias("lo_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("int_a").bitwiseXOR(F.col("int_b")))
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

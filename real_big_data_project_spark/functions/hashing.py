@@ -68,30 +68,41 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def simhash32_bits(col: Column | str) -> Column:
-    """SimHash-32 fingerprint as a string of 32 bits.
+def simhash64_bits(col: Column | str) -> Column:
+    """SimHash-64 fingerprint as a string of 64 bits.
 
-    Per token, md5 hex chars give 32 independent bits (the high bit of each
-    nibble: hex char ∈ {8..f}). Sum +1/-1 votes per position over tokens,
-    then take signs. Portable: the oracle reproduces it with the same
-    md5/substr/instr calls.
+    Per token, one md5 yields 64 independent bits: positions 1..32 take
+    the HIGH bit of each hex nibble (hex char ∈ {8..f}), positions 33..64
+    the SECOND bit of the same nibbles (hex char ∈ {4..7, c..f}). Sum
+    +1/−1 votes per position over tokens, then take signs. Portable: the
+    oracle reproduces it with the same md5/substr/instr calls.
+
+    Reference implementation (interpreted HOF folds, fine on the small
+    arrays tests use); the production path is the explode/aggregate
+    datapipe/dedup_text.py::simhash_signatures, pinned bit-for-bit equal
+    by tests/test_datapipe.py.
     """
     toks = normalized_tokens(col)
     bit_cols = [
-        F.when(_bit_vote(toks, pos) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_bit_vote(toks, pos, "89abcdef") >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for pos in range(1, 33)
+    ] + [
+        F.when(_bit_vote(toks, pos, "4567cdef") >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
         for pos in range(1, 33)
     ]
     return F.concat(*bit_cols)
 
 
-def _bit_vote(toks: Column, pos: int) -> Column:
+def _bit_vote(toks: Column, pos: int, ones: str) -> Column:
     # Closure factory (not a default arg) — see _salted_min's arity note.
     return F.aggregate(
         toks,
         F.lit(0),
         lambda acc, t: acc
         + F.when(
-            F.instr(F.lit("89abcdef"), F.substring(F.md5(t), pos, 1)) > 0,
+            F.instr(F.lit(ones), F.substring(F.md5(t), pos, 1)) > 0,
             F.lit(1),
         ).otherwise(F.lit(-1)),
     )

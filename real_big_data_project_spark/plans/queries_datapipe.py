@@ -99,11 +99,14 @@ cand AS (
 
 
 def _sql_simhash_sig() -> str:
-    """32-bit SimHash per corpus doc (functions/hashing.py::simhash32_bits)."""
+    """64-bit SimHash per corpus doc (functions/hashing.py::simhash64_bits):
+    bits 1..32 from the high bit of each md5 hex nibble, bits 33..64 from
+    the second bit of the same nibbles."""
     bits = " || ".join(
         "(CASE WHEN list_sum(list_transform(toks, t -> "
-        f"CASE WHEN strpos('89abcdef', substr(md5(t), {p}, 1)) > 0 "
+        f"CASE WHEN strpos('{ones}', substr(md5(t), {p}, 1)) > 0 "
         "THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)"
+        for ones in ("89abcdef", "4567cdef")
         for p in range(1, 33)
     )
     return f"""
@@ -351,8 +354,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, sig,
              unnest(list_value(
-               'b0:' || substr(sig, 1, 8), 'b1:' || substr(sig, 9, 8),
-               'b2:' || substr(sig, 17, 8), 'b3:' || substr(sig, 25, 8))) AS band
+               'b0:' || substr(sig, 1, 16), 'b1:' || substr(sig, 17, 16),
+               'b2:' || substr(sig, 33, 16), 'b3:' || substr(sig, 49, 16))) AS band
       FROM sims
     ),
     pairs AS (
@@ -361,17 +364,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(list_sum(list_transform(range(1, 33),
+           CAST(list_sum(list_transform(range(1, 65),
              p -> CASE WHEN substr(sig_a, p, 1) <> substr(sig_b, p, 1)
                        THEN 1 ELSE 0 END)) AS INT) AS hamming
     FROM pairs
-    WHERE list_sum(list_transform(range(1, 33),
+    WHERE list_sum(list_transform(range(1, 65),
             p -> CASE WHEN substr(sig_a, p, 1) <> substr(sig_b, p, 1)
                       THEN 1 ELSE 0 END)) <= 3
     """,
-    description="SimHash near-dup pairs: 32-bit md5-vote fingerprint, "
-                "blocked on 4 bands of 8 bits (pigeonhole: hamming ≤ 3 ⇒ "
-                "≥1 shared band ⇒ zero recall loss), Hamming-verified.",
+    description="SimHash near-dup pairs: 64-bit md5-vote fingerprint, "
+                "blocked on 4 bands of 16 bits (pigeonhole: hamming ≤ 3 ⇒ "
+                "≥1 shared band ⇒ zero recall loss; 65k-value bands keep "
+                "bucket fan-out sublinear), Hamming-verified.",
     tags=("datapipe",),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

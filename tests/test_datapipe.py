@@ -87,12 +87,12 @@ def test_simhash_df_impl_matches_reference_column_impl(docs):
     written against the latter's definition."""
     from pyspark.sql import functions as F
 
-    from real_big_data_project_spark.functions.hashing import simhash32_bits
+    from real_big_data_project_spark.functions.hashing import simhash64_bits
 
     fast = {r.doc_id: r.sig for r in DT.simhash_signatures(docs).collect()}
     ref = {
         r.doc_id: r.sig
-        for r in docs.select("doc_id", simhash32_bits("text").alias("sig"))
+        for r in docs.select("doc_id", simhash64_bits("text").alias("sig"))
         .limit(50).collect()
     }
     assert ref and all(fast[k] == v for k, v in ref.items())
