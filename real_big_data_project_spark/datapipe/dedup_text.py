@@ -351,3 +351,31 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             F.size("_sampled").cast("bigint").alias("n_sampled_grams"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: which docs in a NEW batch carry content
+    the existing corpus has never seen.
+
+    The shape that scales: the existing corpus contributes only its
+    DISTINCT fingerprints (one hash-agg — at 100 TB this is the stored
+    fingerprint index of the corpus, not a re-scan), the batch anti-joins
+    against them, and batch-internal duplicates collapse with the same
+    min-id keeper policy as exact_dedup_groups. Both the anti-join and
+    the final agg shuffle on `fp` — one partitioning reused end-to-end.
+    """
+    seen = existing.select(fingerprint(text_col).alias("fp")).distinct()
+    fresh = (
+        batch.select(F.col(id_col).alias("doc_id"),
+                     fingerprint(text_col).alias("fp"))
+        .join(seen, "fp", "left_anti")
+    )
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_batch_dups"),
+    )

@@ -173,3 +173,55 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split0",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash.
+
+    The split a training pipeline actually needs: stable under
+    re-partitioning, re-runs, and corpus growth (a doc's split never
+    changes when other docs arrive), with no shuffle at all — the bucket
+    is a map-only expression on the id. Same md5-prefix → uniform-bucket
+    construction as weighted_sample_take's u."""
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    bucket = F.conv(hex8, 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuf0",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Deterministic global permutation: shuffle_key = md5(salt:id), pos =
+    exact global rank over (key, id).
+
+    Training-data order matters (shuffling a corpus before sharding into
+    sequence files); a seeded `rand()` is NOT reproducible across Spark
+    partitionings, an id-keyed md5 is. The rank comes from
+    operators/windows.py::global_row_number — range repartition +
+    broadcast prefix-sum offsets — so the permutation of a 100 TB corpus
+    never funnels through a single-task window."""
+    from ..operators.windows import global_row_number
+
+    keyed = df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+    )
+    return global_row_number(
+        keyed, ["shuffle_key", id_col], out_col="pos", num_ranges=num_ranges
+    )

@@ -75,3 +75,82 @@ def first_last_per_group(
         df.withColumn("is_first", F.row_number().over(asc) == 1)
         .withColumn("is_last", F.row_number().over(desc) == 1)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list,
+    out_col: str = "rn",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact global row_number over a TOTAL ordering without funneling the
+    data through one task.
+
+    ``Window.orderBy(...)`` with no partition moves every row to a single
+    partition — the classic scale-killer (Spark itself warns). Instead:
+
+      1. ``repartitionByRange`` on the ordering key — partition i holds a
+         contiguous, globally ordered key range;
+      2. local row_number within each range partition (parallel);
+      3. exclusive prefix sums of the per-partition counts (one row per
+         partition — aggregate-sized by design, same pattern as the
+         sharded sequence-packing offsets) broadcast back.
+
+    Global position = local position + partition base. Exact — not an
+    approximation — provided ``order`` is a total (unique) ordering, the
+    same contract every row_number in this repo carries. Scales to any
+    row count: the only single-partition structure ever materialized is
+    the ≤ ``num_ranges``-row offsets frame.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parted = df.repartitionByRange(num_ranges, *cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_gpid").orderBy(*cols)
+    local = parted.withColumn("_lrn", F.row_number().over(local_w))
+    base_w = (
+        Window.orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        parted.groupBy("_gpid").agg(F.count("*").alias("_n"))
+        .withColumn("_base", F.coalesce(F.sum("_n").over(base_w), F.lit(0)))
+        .select("_gpid", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_gpid")
+        .withColumn(out_col, (F.col("_base") + F.col("_lrn")).cast("long"))
+        .drop("_gpid", "_lrn", "_base")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order: list,
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """SQL-exact NTILE(n) over a total ordering, built on
+    ``global_row_number`` so no fact-sized data crosses a single task.
+
+    Standard NTILE remainder semantics: with N rows and k buckets,
+    q = N div k, r = N mod k — the first r buckets hold q+1 rows, the
+    rest q. Closed form from the global rank, with N supplied by a
+    broadcast one-row aggregate (scalar-subquery shape).
+    """
+    ranked = global_row_number(df, order, out_col="_grn",
+                               num_ranges=num_ranges)
+    total = df.agg(F.count("*").alias("_N"))
+    q = F.expr(f"_N div {n_buckets}")
+    r = F.col("_N") % n_buckets
+    cut = r * (q + 1)  # ranks 1..cut live in the q+1-sized buckets
+    rn = F.col("_grn")
+    bucket = F.when(
+        rn <= cut, F.ceil(rn / (q + 1))
+    ).otherwise(r + F.ceil((rn - cut) / F.greatest(q, F.lit(1))))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_grn", "_N")
+    )

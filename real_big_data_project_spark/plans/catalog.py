@@ -64,6 +64,10 @@ _RISKIEST: tuple[str, ...] = (
     "q_scan_excel",
     "q_scan_jdbc",
     "q_trend_slope_sql",
+    "q_corpus_shuffle",
+    "q_train_test_split",
+    "q_dedup_incremental",
+    "q_ntile_deciles",  # re-gate: global window -> exact_ntile rewrite
 )
 
 

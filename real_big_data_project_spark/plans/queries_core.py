@@ -1427,21 +1427,26 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY decile
     """,
-    description="Decile bucketing via ntile over a total ordering + "
-                "per-decile stats — the equi-depth histogram / quantile "
-                "binning primitive. The global-order window funnels "
-                "through one task: fine for dimension-sized inputs; at "
-                "fact scale use approx quantile cutpoints + a map-only "
-                "bucket join instead.",
+    description="Decile bucketing + per-decile stats — the equi-depth "
+                "histogram / quantile binning primitive. SQL-exact "
+                "NTILE(10) semantics, but computed with a range "
+                "repartition + per-partition prefix-sum offsets (operators/"
+                "windows.py::exact_ntile) instead of a global-order "
+                "window, so no fact-sized data ever funnels through one "
+                "task.",
 )
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.windows import exact_ntile
 
     orders = R.load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        order=["o_totalprice", "o_orderkey"],
+        n_buckets=10,
+        out_col="decile",
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).cast("int").alias("decile"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(F.count("*").alias("n"),
              F.round(F.min("o_totalprice"), 2).alias("lo"),
              F.round(F.max("o_totalprice"), 2).alias("hi"),

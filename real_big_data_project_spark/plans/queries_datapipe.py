@@ -1731,3 +1731,110 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = R.load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_near_duplicates(emb, threshold=0.9)
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5('shuf0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuf0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    description="Deterministic corpus shuffle: md5(salt:id) permutation "
+                "key + EXACT global position via range repartition and "
+                "broadcast prefix-sum offsets (never a single-task "
+                "global-order window) — the reproducible pre-training "
+                "shuffle that survives re-partitioning and re-runs.",
+    tags=("datapipe",),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import deterministic_shuffle
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id").select(
+        "doc_id", "shuffle_key", "pos"
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x',
+               substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM b GROUP BY 1
+    """,
+    description="Deterministic train/valid/test split (80/10/10) by id "
+                "hash: stable under re-partitioning, re-runs, and corpus "
+                "growth; assignment is a map-only expression, the only "
+                "shuffle is the 3-group audit aggregate.",
+    tags=("datapipe",),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import hash_split
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corpus
+    ),
+    batch AS (SELECT * FROM fps WHERE doc_id > (SELECT m FROM mx)),
+    seen AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id <= (SELECT m FROM mx)
+    )
+    SELECT b.fp, min(b.doc_id) AS keeper_doc_id,
+           count(*) AS n_batch_dups
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+    GROUP BY b.fp
+    """,
+    description="Incremental dedup of a NEW batch against the existing "
+                "corpus: the corpus contributes only its distinct "
+                "fingerprint index (at scale: a stored index, not a "
+                "re-scan), the batch anti-joins it and self-dedupes with "
+                "the min-id keeper. Planted exact copies vanish; near "
+                "copies (different content) survive.",
+    tags=("datapipe",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    corp = CP.with_near_duplicates(docs)
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    batch = (
+        corp.crossJoin(F.broadcast(mx))
+        .filter(F.col("doc_id") > F.col("m"))
+        .drop("m")
+    )
+    return DT.incremental_dedup(batch, docs)

@@ -1,0 +1,75 @@
+"""Operator-level equivalence tests for the scale-safe window
+replacements (operators/windows.py) and split determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_global_row_number_matches_global_window(spark, sf_dir):
+    """Exact equivalence with Window.orderBy row_number on a total
+    ordering — the operator is a scale-safe drop-in, not an approximation."""
+    from pyspark.sql import Window
+
+    from real_big_data_project_spark.operators.windows import global_row_number
+    from real_big_data_project_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    got = {
+        r.o_orderkey: r.rn
+        for r in global_row_number(
+            orders, ["o_totalprice", "o_orderkey"], num_ranges=7).collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_matches_window_ntile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from real_big_data_project_spark.operators.windows import exact_ntile
+    from real_big_data_project_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    # 7 buckets over a count not divisible by 7 exercises the remainder rule
+    got = {
+        r.o_orderkey: r.bucket
+        for r in exact_ntile(
+            orders, ["o_totalprice", "o_orderkey"], 7, num_ranges=5).collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.b
+        for r in orders.withColumn("b", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_hash_split_stable_under_subsetting(spark, sf_dir):
+    """A doc's split assignment must not change when other docs are
+    added/removed — the property that makes the split usable across
+    corpus versions."""
+    from real_big_data_project_spark.datapipe.selection import hash_split
+    from real_big_data_project_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id").collect()
+    }
+    assert sub and all(full[k] == v for k, v in sub.items())
+    # all three splits are populated and roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "valid", "test"}
+    assert abs(c["train"] / n - 0.8) < 0.05

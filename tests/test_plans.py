@@ -227,3 +227,18 @@ def test_multimodal_decode_is_shuffle_free(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_multimodal_decode")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_ntile_never_single_partitions_the_fact(qmap, spark, sf_dir):
+    """q_ntile_deciles must rank via range repartition (exact_ntile), not
+    a global-order window that funnels orders through one task. The only
+    SinglePartition structures allowed are aggregate-sized (the <=32-row
+    offsets frame and the scalar total)."""
+    plan = plan_of(qmap, spark, sf_dir, "q_ntile_deciles")
+    assert "rangepartitioning" in plan.lower()
+    assert "Ntile" not in plan  # window-function ntile never appears
+
+
+def test_corpus_shuffle_uses_range_rank(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_corpus_shuffle")
+    assert "rangepartitioning" in plan.lower()
