@@ -251,3 +251,46 @@ def embedding_near_duplicates(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    bucket_dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus: for EVERY vector, its
+    top-k cosine neighbors within its sign-LSH cell.
+
+    The all-pairs primitive behind near-dup graph construction and
+    graph-based clustering — and the query where O(n²) actually kills
+    you, because every vector is a query. The LSH cell keeps it
+    sublinear: one shuffle partitions both sides by the bucket key,
+    pairwise scoring happens only within cells (expected cell size
+    n/2^|dims|), and the per-vector top-k is a second, output-sized
+    shuffle. Recall is bounded by the cell (deterministic, not
+    probabilistic-per-run); multi-probe or band-replication widens it the
+    standard way."""
+    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", sign_bucket("v", dims))
+    a = vecs.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v"),
+        F.col("bucket").alias("nbucket"),
+    )
+    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    scored = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("nbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    return _topk_per_query(scored, k)

@@ -68,6 +68,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_train_test_split",
     "q_dedup_incremental",
     "q_ntile_deciles",  # re-gate: global window -> exact_ntile rewrite
+    "q_knn_graph",
 )
 
 

@@ -1838,3 +1838,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("m")
     )
     return DT.incremental_dedup(batch, docs)
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH {SQL_VECS},
+    bv AS (SELECT vec_id, v, {_sql_sign_bucket('v')} AS bucket FROM vecs),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_sql_cosine('a.v', 'b.v')}, 5) AS sim
+      FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM ranked WHERE rank <= 3
+    """,
+    description="Approximate kNN graph: EVERY vector's top-3 cosine "
+                "neighbors within its sign-LSH cell — the all-pairs "
+                "primitive behind near-dup graphs and graph clustering, "
+                "kept sublinear by cell-local scoring (one bucket-key "
+                "shuffle, never O(n²)).",
+    tags=("datapipe",),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    out = SIM.knn_graph(emb, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
+    )

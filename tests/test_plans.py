@@ -242,3 +242,14 @@ def test_ntile_never_single_partitions_the_fact(qmap, spark, sf_dir):
 def test_corpus_shuffle_uses_range_rank(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_corpus_shuffle")
     assert "rangepartitioning" in plan.lower()
+
+
+def test_knn_graph_is_bucket_equi_join(qmap, spark, sf_dir):
+    """The all-pairs kNN graph must join on the LSH cell key (hash/merge
+    equi-join) — a BroadcastNestedLoopJoin or cartesian product here is
+    the O(n^2) shape the operator exists to avoid."""
+    plan = plan_of(qmap, spark, sf_dir, "q_knn_graph")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
