@@ -189,10 +189,7 @@ def hash_split(
     changes when other docs arrive), with no shuffle at all — the bucket
     is a map-only expression on the id. Same md5-prefix → uniform-bucket
     construction as weighted_sample_take's u."""
-    hex8 = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
-    )
-    bucket = F.conv(hex8, 16, 10).cast("long") % 100
+    bucket = F.conv(_sample_key(id_col, salt), 16, 10).cast("long") % 100
     split = (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + valid_pct, F.lit("valid"))

@@ -89,25 +89,48 @@ def global_row_number(
     ``Window.orderBy(...)`` with no partition moves every row to a single
     partition — the classic scale-killer (Spark itself warns). Instead:
 
-      1. ``repartitionByRange`` on the ordering key — partition i holds a
-         contiguous, globally ordered key range;
-      2. local row_number within each range partition (parallel);
-      3. exclusive prefix sums of the per-partition counts (one row per
+      1. ``repartitionByRange`` + ``sortWithinPartitions`` on the ordering
+         key — partition i holds a contiguous, locally sorted, globally
+         ordered key range;
+      2. partition id and local position stamped MAP-SIDE from
+         ``monotonically_increasing_id`` (upper bits = partition index,
+         lower 33 = position in partition order) — no second exchange, no
+         window;
+      3. the stamped frame is materialized ONCE via ``localCheckpoint``;
+      4. exclusive prefix sums of the per-partition counts (one row per
          partition — aggregate-sized by design, same pattern as the
          sharded sequence-packing offsets) broadcast back.
 
+    The checkpoint is load-bearing for CORRECTNESS, not a cache:
+    ``repartitionByRange`` samples its cutpoints, so two plan branches
+    that each re-evaluate it can land rows in DIFFERENT partitions (Spark
+    documents the inconsistency; only exchange reuse normally hides it —
+    with ``spark.sql.exchange.reuse=false`` the unmaterialized version
+    produced wrong ranks for 87% of rows). Counts and positions must come
+    from the SAME physical partitioning, so that partitioning is pinned
+    to storage before the plan forks. The materialization is one extra
+    write+read of the dataset — the same order of cost as the exchange
+    itself, and the standard shape for position-stamping a shuffled
+    corpus (you materialize the shards anyway).
+
     Global position = local position + partition base. Exact — not an
     approximation — provided ``order`` is a total (unique) ordering, the
-    same contract every row_number in this repo carries. Scales to any
-    row count: the only single-partition structure ever materialized is
-    the ≤ ``num_ranges``-row offsets frame.
+    same contract every row_number in this repo carries (and partitions
+    under 2^33 rows, far beyond any sane range size). The only
+    single-partition structure is the ≤ ``num_ranges``-row offsets frame.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    parted = df.repartitionByRange(num_ranges, *cols).withColumn(
-        "_gpid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(num_ranges, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_gpid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
+        .drop("_mid")
+        .localCheckpoint()
     )
-    local_w = Window.partitionBy("_gpid").orderBy(*cols)
-    local = parted.withColumn("_lrn", F.row_number().over(local_w))
     base_w = (
         Window.orderBy("_gpid")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -118,7 +141,7 @@ def global_row_number(
         .select("_gpid", "_base")
     )
     return (
-        local.join(F.broadcast(bases), "_gpid")
+        parted.join(F.broadcast(bases), "_gpid")
         .withColumn(out_col, (F.col("_base") + F.col("_lrn")).cast("long"))
         .drop("_gpid", "_lrn", "_base")
     )
@@ -137,11 +160,13 @@ def exact_ntile(
     Standard NTILE remainder semantics: with N rows and k buckets,
     q = N div k, r = N mod k — the first r buckets hold q+1 rows, the
     rest q. Closed form from the global rank, with N supplied by a
-    broadcast one-row aggregate (scalar-subquery shape).
+    broadcast one-row aggregate (scalar-subquery shape) over the ALREADY
+    RANKED frame (N = max rank) — counting from ``df`` again would both
+    re-scan the source and re-evaluate any nondeterministic lineage.
     """
     ranked = global_row_number(df, order, out_col="_grn",
                                num_ranges=num_ranges)
-    total = df.agg(F.count("*").alias("_N"))
+    total = ranked.agg(F.max("_grn").alias("_N"))
     q = F.expr(f"_N div {n_buckets}")
     r = F.col("_N") % n_buckets
     cut = r * (q + 1)  # ranks 1..cut live in the q+1-sized buckets

