@@ -110,7 +110,7 @@ def weighted_sample_take(
     salt: str = "wsample",
 ) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis):
-    draw u ~ U(0,1] per row from the id hash, rank by −ln(u)/w ascending
+    draw u ~ U(0,1) per row from the id hash, rank by −ln(u)/w ascending
     (equivalent to uᵂ descending), take the top n — inclusion probability
     ∝ weight, deterministic, single pass.
 
@@ -126,10 +126,12 @@ def weighted_sample_take(
     epsilon — the E–S limit as w→0+ is "never sampled", so w ≤ 0 rows
     sort to the very end instead of poisoning the key with ±inf.
     """
-    hex8 = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
-    )
-    u = (F.conv(hex8, 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    hex8 = _sample_key(id_col, salt)
+    # denominator 2^32+1 keeps u STRICTLY inside (0,1): with /2^32 a
+    # once-in-2^32 'ffffffff' hash prefix gives u=1, -ln(u)=0, and key 0
+    # regardless of weight -- that row (even a w<=0 one) would rank FIRST,
+    # violating the ordering contract below.
+    u = (F.conv(hex8, 16, 10).cast("long") + 1) / F.lit(4294967297.0)
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
     key = F.round(-F.log(u) / w, ES_KEY_ROUND)
     top = (

@@ -115,8 +115,11 @@ def _with_lists(
     """(id, label, v): attach the inverted-list assignment. `lists` is an
     offline clustering output ((id, list_col) — e.g.
     clustering.kmeans_assign); when absent, a `list_col` column already on
-    `emb` is used. The lists frame is cluster-count-bounded per vector
-    (one row each) and joins broadcast."""
+    `emb` is used. The lists frame is CORPUS-sized (one (id, label) row
+    per vector), so this is an id-keyed shuffle join of two corpus-sized
+    frames — the right shape at scale (both sides partition on the id;
+    at 100 TB the assignment would be a stored table bucketed on the
+    id, making this join exchange-free)."""
     if lists is None:
         return emb.select(F.col(id_col), F.col(list_col).alias("label"),
                           as_double(vec_col).alias("v"))
@@ -170,8 +173,16 @@ def ann_ivf_topk(
     Probe selection is a total ordering (rounded sim DESC, label ASC);
     final ranking reuses the shared top-k contract. Inverted lists come
     from `lists` (an offline clustering, e.g. clustering.kmeans_assign)
-    or a pre-existing `list_col` column."""
+    or a pre-existing `list_col` column.
+
+    When `lists` carries an expensive lineage (the iterative k-means
+    plan), it is pinned with localCheckpoint: `vecs` fans out three ways
+    below (centroid aggregate, query probe, inverted-list scan), and
+    without the pin each consumer would re-execute the whole clustering
+    — exactly what an offline IVF build materializes in practice."""
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
+    if lists is not None:
+        vecs = vecs.localCheckpoint()
     cents = _centroids(vecs)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")

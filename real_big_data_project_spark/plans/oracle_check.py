@@ -74,14 +74,19 @@ def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.astype("int64")
     # Row alignment: sort on non-float columns first so a last-ulp
     # cross-engine float difference in a sort-prefix column can't align
-    # the two frames differently; floats participate only as tiebreaks,
-    # rounded to the comparison tolerance.
+    # the two frames differently; floats participate as tiebreaks,
+    # rounded to a coarse bucket FIRST (so near-equal values stay
+    # adjacent regardless of ulp noise), then raw as the final key (so
+    # rows that tie on every exact column and rounding bucket still get
+    # a deterministic order per-engine instead of input order — two
+    # rows whose floats differ by more than rtol but round alike would
+    # otherwise align arbitrarily and flag a spurious mismatch).
     exact_cols = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
     float_cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
     rounded = {f"_sort_{c}": df[c].round(6) for c in float_cols}
     for k, v in rounded.items():
         df[k] = v
-    sort_cols = exact_cols + list(rounded)
+    sort_cols = exact_cols + list(rounded) + float_cols
     out = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     return out.drop(columns=list(rounded))
 

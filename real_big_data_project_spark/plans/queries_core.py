@@ -1681,12 +1681,17 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = R.load_table(spark, sf_dir, "events")
-    base = F.lit("1995-01-01").cast("timestamp_ntz")
+    # timestampdiff over two NTZ operands is pure wall-clock arithmetic:
+    # unix_micros(cast(ts as timestamp)) would re-interpret the NTZ value
+    # in the SESSION timezone, and a DST-observing tz shifts summer rows'
+    # x by 1/24 day relative to the winter base (the driver probes with a
+    # hostile non-UTC session tz).
     prepared = ev.select(
         "user_id",
-        ((F.unix_micros(F.col("ts").cast("timestamp"))
-          - F.unix_micros(base.cast("timestamp"))) / 1_000_000.0 / 86400.0
-         ).alias("x"),
+        (F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1995-01-01 00:00:00', ts)"
+        ) / 1_000_000.0 / 86400.0).alias("x"),
         F.col("value").alias("y"),
     )
 
@@ -1739,9 +1744,11 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_trend_slope_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.load_table(spark, sf_dir, "events")
-    base = F.lit("1995-01-01").cast("timestamp_ntz")
-    x = ((F.unix_micros(F.col("ts").cast("timestamp"))
-          - F.unix_micros(base.cast("timestamp"))) / 1_000_000.0 / 86400.0)
+    # NTZ-pure x: see q_trend_slope's note on session-tz independence.
+    x = (F.expr(
+        "timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1995-01-01 00:00:00', ts)"
+    ) / 1_000_000.0 / 86400.0)
     y = F.col("value")
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -1602,7 +1602,7 @@ WSAMPLE_N = 50
       SELECT doc_id, n_chars,
              round(-ln((CAST(concat('0x',
                      substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                   AS BIGINT) + 1) / 4294967296.0)
+                   AS BIGINT) + 1) / 4294967297.0)
                    / greatest(CAST(n_chars AS DOUBLE), 1e-12), 8) AS es_key
       FROM documents
     )

@@ -300,11 +300,13 @@ NATION_SCHEMA = T.StructType([
 
 def ensure_nation_xlsx(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `nation` as xlsx files (split in two so read_excel_dir
-    exercises multi-file parallelism), once per sf dir."""
-    import hashlib
+    exercises multi-file parallelism), once per sf dir. Cache-keyed by
+    registry.fixture_tag (path + parquet stat signature) like every other
+    fixture dir, so an in-place driver regeneration of the testdata
+    invalidates the xlsx instead of serving stale rows."""
+    from .registry import fixture_tag
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(ARTIFACTS, f"nation_xlsx_{tag}")
+    out = os.path.join(ARTIFACTS, f"nation_xlsx_{fixture_tag(sf_dir)}")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob as _glob
 import hashlib
 import os
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,9 +59,14 @@ def events_ts_divisor(path: str, glob_pat: str = "events.parquet") -> int:
     `path` is the events parquet file, a scale-factor dir containing
     `events.parquet`, or a landing dir of copies of it (first parquet in
     sorted order decides — landing fixtures replicate one source file, so
-    units never mix within a dir)."""
-    import pyarrow.parquet as pq
+    units never mix within a dir).
 
+    Fails LOUDLY on any physical type other than TIMESTAMP(NANOS/MICROS)
+    — a silent default here would mean silently 1000x-wrong timestamps in
+    every events query if a future round ships a new shape. Memoized on
+    the resolved file's (path, mtime, size) so the per-call cost is a
+    dict lookup, while an in-place testdata regeneration still re-sniffs.
+    """
     if os.path.isfile(path):
         f = path
     else:
@@ -70,7 +76,22 @@ def events_ts_divisor(path: str, glob_pat: str = "events.parquet") -> int:
         if not cands:
             raise FileNotFoundError(f"no parquet files under {path!r}")
         f = cands[0]
-    unit = getattr(pq.read_schema(f).field("ts").type, "unit", "us")
+    st = os.stat(f)
+    return _sniff_ts_unit(f, st.st_mtime_ns, st.st_size)
+
+
+@_lru_cache(maxsize=64)
+def _sniff_ts_unit(f: str, mtime_ns: int, size: int) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f).field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit not in ("ns", "us"):
+        raise TypeError(
+            f"events.ts in {f!r} has physical type {t!r} (unit {unit!r}); "
+            "only TIMESTAMP(NANOS) and TIMESTAMP(MICROS) are understood — "
+            "refusing to guess a divisor"
+        )
     return {"ns": 1000, "us": 1}[unit]
 
 
