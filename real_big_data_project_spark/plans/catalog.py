@@ -69,6 +69,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_ntile_deciles",  # re-gate: global window -> exact_ntile rewrite
     "q_knn_graph",
+    "q_tags_resolve",
 )
 
 

@@ -2303,3 +2303,53 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     R.register_views(spark, sf_dir)
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+@register(
+    "q_tags_resolve",
+    oracle="""
+    WITH log AS (
+      SELECT 'nation:' || n_name AS name,
+             CAST(n_regionkey AS VARCHAR) AS value, 1 AS seq
+      FROM nation
+      UNION ALL
+      SELECT 'nation:' || n_name, CAST(n_regionkey + 100 AS VARCHAR), 2
+      FROM nation WHERE n_nationkey % 2 = 1
+      UNION ALL
+      SELECT 'nation:' || n_name, '<DEL>', 3
+      FROM nation WHERE n_nationkey % 5 = 0
+    )
+    SELECT name, value FROM (
+      SELECT name, max_by(value, seq) AS value FROM log GROUP BY name
+    ) WHERE value <> '<DEL>'
+    """,
+    description="The tags KV surface's read path (sources/tags.py, "
+                "reference etl/timescaledb_model.py:278): append-only "
+                "(name, value, seq) log resolved last-write-wins with one "
+                "max_by hash-aggregate, tombstones dropped. The log here "
+                "is constructed deterministically from nation (v1 for "
+                "all keys, v2 for odd nationkeys, tombstone for "
+                "multiples of 5) so the resolve semantics sit under the "
+                "DuckDB oracle; tombstones use a sentinel, not NULL — "
+                "engines disagree on NULL-skipping in max_by/arg_max.",
+)
+def q_tags_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = R.load_table(spark, sf_dir, "nation")
+    name = F.concat(F.lit("nation:"), F.col("n_name")).alias("name")
+    v1 = nation.select(
+        name, F.col("n_regionkey").cast("string").alias("value"),
+        F.lit(1).alias("seq"),
+    )
+    v2 = nation.filter(F.col("n_nationkey") % 2 == 1).select(
+        name, (F.col("n_regionkey") + 100).cast("string").alias("value"),
+        F.lit(2).alias("seq"),
+    )
+    tomb = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        name, F.lit("<DEL>").alias("value"), F.lit(3).alias("seq"),
+    )
+    log = v1.unionAll(v2).unionAll(tomb)
+    return (
+        log.groupBy("name")
+        .agg(F.max_by("value", "seq").alias("value"))
+        .filter(F.col("value") != "<DEL>")
+    )
