@@ -182,7 +182,10 @@ def ann_ivf_topk(
     — exactly what an offline IVF build materializes in practice."""
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
     if lists is not None:
-        vecs = vecs.localCheckpoint()
+        # eager=False: pin the lineage cut but defer execution to the
+        # first action — building the DataFrame (plan inspection, schema
+        # checks) must not run the k-means job.
+        vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")

@@ -2325,15 +2325,19 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="The tags KV surface's read path (sources/tags.py, "
                 "reference etl/timescaledb_model.py:278): append-only "
-                "(name, value, seq) log resolved last-write-wins with one "
-                "max_by hash-aggregate, tombstones dropped. The log here "
-                "is constructed deterministically from nation (v1 for "
-                "all keys, v2 for odd nationkeys, tombstone for "
-                "multiples of 5) so the resolve semantics sit under the "
-                "DuckDB oracle; tombstones use a sentinel, not NULL — "
-                "engines disagree on NULL-skipping in max_by/arg_max.",
+                "(name, value, seq) log resolved last-write-wins via "
+                "tags.resolve_tags_log — the PRODUCTION resolve (one "
+                "max_by hash-aggregate, NULL tombstones dropped), not a "
+                "copy. The log is constructed deterministically from "
+                "nation (v1 for all keys, v2 for odd nationkeys, "
+                "tombstone for multiples of 5). The ORACLE encodes "
+                "tombstones as a sentinel because DuckDB's max_by skips "
+                "NULL arguments while Spark's returns them; the resolved "
+                "output is identical either way (tombstoned keys drop).",
 )
 def q_tags_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tags import resolve_tags_log
+
     nation = R.load_table(spark, sf_dir, "nation")
     name = F.concat(F.lit("nation:"), F.col("n_name")).alias("name")
     v1 = nation.select(
@@ -2345,11 +2349,7 @@ def q_tags_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("seq"),
     )
     tomb = nation.filter(F.col("n_nationkey") % 5 == 0).select(
-        name, F.lit("<DEL>").alias("value"), F.lit(3).alias("seq"),
+        name, F.lit(None).cast("string").alias("value"),
+        F.lit(3).alias("seq"),
     )
-    log = v1.unionAll(v2).unionAll(tomb)
-    return (
-        log.groupBy("name")
-        .agg(F.max_by("value", "seq").alias("value"))
-        .filter(F.col("value") != "<DEL>")
-    )
+    return resolve_tags_log(v1.unionAll(v2).unionAll(tomb))

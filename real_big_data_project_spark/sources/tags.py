@@ -49,16 +49,24 @@ def set_tag(spark: SparkSession, name: str, value: str,
     row.write.mode("append").format("parquet").saveAsTable(table)
 
 
+def resolve_tags_log(log: DataFrame) -> DataFrame:
+    """Last-write-wins resolve of a (name, value, seq) log: one hash
+    aggregate (max_by), NULL-value tombstones dropped. THE read path —
+    every consumer (tags_df, the oracled q_tags_resolve) goes through
+    this function so the correctness gate covers the production code,
+    not a parallel copy."""
+    return (
+        log.groupBy("name")
+        .agg(F.max_by("value", "seq").alias("value"))
+        .filter(F.col("value").isNotNull())  # drop tombstones
+    )
+
+
 def tags_df(spark: SparkSession, table: str = TAGS_TABLE) -> DataFrame:
     """Resolved view: one row per name, latest value (max seq wins)."""
     if not _exists(spark, table):
         return spark.createDataFrame([], "name string, value string")
-    return (
-        spark.table(table)
-        .groupBy("name")
-        .agg(F.max_by("value", "seq").alias("value"))
-        .filter(F.col("value").isNotNull())  # drop tombstones
-    )
+    return resolve_tags_log(spark.table(table))
 
 
 def get_tag(spark: SparkSession, name: str,
