@@ -70,6 +70,8 @@ _RISKIEST: tuple[str, ...] = (
     "q_ntile_deciles",  # re-gate: global window -> exact_ntile rewrite
     "q_knn_graph",
     "q_tags_resolve",
+    "q_filter_funnel",
+    "q_corpus_shard",
 )
 
 

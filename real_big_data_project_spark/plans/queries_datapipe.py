@@ -1872,3 +1872,130 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim"
     )
+
+
+@register(
+    "q_filter_funnel",
+    oracle=rf"""
+    WITH {SQL_CORPUS},
+    stats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             ' ' || lower(text) || ' ' AS c
+      FROM corpus
+    ),
+    langs AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+             WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             ELSE 'de' END AS lang_guess
+      FROM (SELECT doc_id, {_sql_lang_scores()} FROM stats)
+    ),
+    flagged AS (
+      SELECT s.doc_id,
+             (s.n_tokens >= 10) AS f_len,
+             (s.quality >= 0.7) AS f_quality,
+             (l.lang_guess <> 'und') AS f_lang,
+             (s.doc_id = min(s.doc_id) OVER (PARTITION BY s.fp)) AS f_keeper
+      FROM stats s JOIN langs l USING (doc_id)
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_len,
+           CAST(sum(CASE WHEN f_len AND f_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_quality,
+           CAST(sum(CASE WHEN f_len AND f_quality AND f_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after_lang,
+           CAST(sum(CASE WHEN f_len AND f_quality AND f_lang AND f_keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+    FROM flagged
+    """,
+    description="Curation-funnel audit: the per-stage survival counts of "
+                "a filter cascade (length -> quality -> lang-id -> exact "
+                "dedup keeper) over the dup-planted corpus — the report a "
+                "training-data pipeline publishes with every corpus "
+                "build. One map-only pass computes every flag; the only "
+                "shuffles are the fp window for keeper selection and the "
+                "final 1-row aggregate.",
+    tags=("datapipe",),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    corp = CP.with_near_duplicates(R.load_table(spark, sf_dir, "documents"))
+    stats = corp.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_guess("text").alias("lang_guess"),
+        T.fingerprint("text").alias("fp"),
+    )
+    keeper = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    flagged = stats.select(
+        (F.col("n_tokens") >= 10).alias("f_len"),
+        (F.col("quality") >= 0.7).alias("f_quality"),
+        (F.col("lang_guess") != "und").alias("f_lang"),
+        keeper.alias("f_keeper"),
+    )
+    b = lambda c: c.cast("int")  # noqa: E731
+    return flagged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(b(F.col("f_len"))).alias("n_after_len"),
+        F.sum(b(F.col("f_len") & F.col("f_quality"))).alias("n_after_quality"),
+        F.sum(b(F.col("f_len") & F.col("f_quality") & F.col("f_lang")))
+        .alias("n_after_lang"),
+        F.sum(b(F.col("f_len") & F.col("f_quality") & F.col("f_lang")
+                & F.col("f_keeper"))).alias("n_after_dedup"),
+    )
+
+
+@register(
+    "q_corpus_shard",
+    oracle="""
+    WITH shuffled AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               ORDER BY md5('shuf0:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pos
+      FROM documents
+    )
+    SELECT CAST((pos - 1) % 16 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(max(pos) AS BIGINT) AS last_pos
+    FROM shuffled
+    GROUP BY 1
+    """,
+    description="Shard assignment for training-data files: round-robin "
+                "over the deterministic shuffle position (operators/"
+                "windows.py::global_row_number), so shards are balanced "
+                "to within one doc and fully reproducible; per-shard "
+                "audit row (doc count, char budget, position range) — "
+                "what a sequence-file writer partitionBy()s on.",
+    tags=("datapipe",),
+)
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import deterministic_shuffle
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    sh = deterministic_shuffle(docs, "doc_id")
+    return (
+        sh.withColumn("shard", ((F.col("pos") - 1) % 16).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+    )
