@@ -69,27 +69,72 @@ def ann_brute_topk(
     return _topk_per_query(scored, k)
 
 
+def probe_buckets(v: Column | str, dims: list[int], n_probe: int) -> Column:
+    """Multi-probe LSH bucket set: the vector's own sign bucket plus the
+    buckets reached by flipping the single sign bit whose component is
+    closest to the separating hyperplane (smallest |v[dim]|; ties break on
+    the lower dim index — total, engine-portable ordering). Flipping the
+    least-confident bits first is classic multi-probe LSH (Lv et al.,
+    VLDB'07): it recovers the neighbors most likely to have landed one
+    cell over, at the cost of probing ``n_probe`` cells instead of one —
+    still sublinear, and no extra shuffle (the probe set rides on the
+    broadcast query side)."""
+    c = F.col(v) if isinstance(v, str) else v
+    base = sign_bucket(c, dims)
+    if n_probe <= 1:
+        return F.array(base)
+    # (|v[d]|, d) sorted ascending → the n_probe-1 least-confident dims.
+    pairs = F.array(*[
+        F.struct(
+            F.abs(F.element_at(c, d + 1)).alias("a"),
+            F.lit(d).alias("d"),
+        )
+        for d in dims
+    ])
+    flips = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe - 1), lambda s: s["d"]
+    )
+    # Bucket with dim f's bit flipped: bit_d = (v[d] >= 0) XOR (d == f).
+    flipped = F.transform(
+        flips,
+        lambda f: F.concat(*[
+            F.when((F.element_at(c, d + 1) >= 0) == (F.lit(d) != f), F.lit("1"))
+            .otherwise(F.lit("0"))
+            for d in dims
+        ]),
+    )
+    return F.concat(F.array(base), flipped)
+
+
 def ann_bucket_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
     bucket_dims: list[int] | None = None,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Sign-LSH bucketed ANN: vectors hash to a 2^|dims| cell by the sign
-    pattern of fixed dimensions; each query probes only its own cell.
-    Sublinear work per query; bounded (deterministic) recall — the scale
-    path when brute force stops being free."""
+    pattern of fixed dimensions; each query probes its own cell plus, with
+    ``n_probe`` > 1, the ``n_probe - 1`` nearest cells (least-confident
+    sign bits flipped — see probe_buckets). Work per query is
+    n_probe × cell size; recall is bounded (deterministic) and MEASURED by
+    recall_at_k against ann_brute_topk (q_ann_recall pins it). Still one
+    bucket-key join: the probe fan-out lives on the broadcast query side,
+    so the corpus is never reshuffled."""
     dims = bucket_dims or DEFAULT_BUCKET_DIMS
     vecs = emb.select(
         F.col(id_col),
         as_double(vec_col).alias("v"),
     ).withColumn("bucket", sign_bucket("v", dims))
-    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+    q = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_buckets("v", dims, n_probe)).alias("qbucket"),
+        )
     )
     sim = F.round(cosine("qv", "v"), SIM_ROUND)
     scored = (
@@ -100,6 +145,33 @@ def ann_bucket_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
     )
     return _topk_per_query(scored, k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, n_true, recall): fraction of the exact top-k actually
+    returned by the approximate index. Denominator is the exact result's
+    per-query row count (min(k, candidates)), so queries whose true
+    neighborhood is smaller than k are not penalized. Both inputs use the
+    shared (query_id, neighbor_id, rank, sim) top-k contract. Join keys
+    are id-sized (|queries| × k rows) — driver-free, output-sized work."""
+    truth = exact.select("query_id", "neighbor_id")
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    denom = truth.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    return (
+        denom.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_true"), SIM_ROUND
+            ).alias("recall"),
+        )
+    )
 
 
 CENTROID_ROUND = 6
@@ -163,13 +235,16 @@ def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "label",
     lists: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: each query picks its nearest centroid (n_probe=1) and
-    scans ONLY that inverted list — work per query is |corpus|/n_lists.
+    """IVF ANN: each query picks its ``n_probe`` nearest centroids and
+    scans ONLY those inverted lists — work per query is
+    n_probe × |corpus|/n_lists. Recall grows with n_probe and is measured
+    by recall_at_k against ann_brute_topk (q_ann_recall).
     Probe selection is a total ordering (rounded sim DESC, label ASC);
     final ranking reuses the shared top-k contract. Inverted lists come
     from `lists` (an offline clustering, e.g. clustering.kmeans_assign)
@@ -198,7 +273,7 @@ def ann_ivf_topk(
         q.crossJoin(F.broadcast(cents))
         .withColumn("csim", csim)
         .withColumn("_rn", F.row_number().over(probe_w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_probe)
         .select("query_id", "qv", F.col("label").alias("probe_label"))
     )
     sim = F.round(cosine("qv", "v"), SIM_ROUND)
@@ -271,27 +346,36 @@ def knn_graph(
     emb: DataFrame,
     k: int = 3,
     bucket_dims: list[int] | None = None,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate kNN GRAPH over the whole corpus: for EVERY vector, its
-    top-k cosine neighbors within its sign-LSH cell.
+    top-k cosine neighbors within its sign-LSH cell(s).
 
     The all-pairs primitive behind near-dup graph construction and
     graph-based clustering — and the query where O(n²) actually kills
-    you, because every vector is a query. The LSH cell keeps it
-    sublinear: one shuffle partitions both sides by the bucket key,
-    pairwise scoring happens only within cells (expected cell size
-    n/2^|dims|), and the per-vector top-k is a second, output-sized
-    shuffle. Recall is bounded by the cell (deterministic, not
-    probabilistic-per-run); multi-probe or band-replication widens it the
-    standard way."""
+    you, because every vector is a query. The LSH cell gives a
+    constant-factor reduction for a FIXED dim count: candidate pairs are
+    Σ|cell|² ≈ n²/2^|dims| under a balanced hash, so keeping the work
+    near-linear at growing corpus size requires scaling |dims| with
+    log₂(n) (cells ≈ n / target-cell-size) — with fixed dims the pair
+    count still grows O(n²/2^|dims|), just 2^|dims|× cheaper. Both sides
+    partition on the bucket key in ONE shuffle, pairwise scoring happens
+    only within cells, and the per-vector top-k is a second, output-sized
+    shuffle. Recall is bounded by the probed cells (deterministic, not
+    probabilistic-per-run) and measured by recall_at_k (q_ann_recall);
+    ``n_probe`` > 1 widens each query's reach to its n_probe-1
+    least-confident bit-flip cells (probe_buckets) — query-side fan-out
+    only, the neighbor side is still hashed once."""
     dims = bucket_dims or DEFAULT_BUCKET_DIMS
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("bucket", sign_bucket("v", dims))
     a = vecs.select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(probe_buckets("v", dims, n_probe)).alias("bucket"),
     )
     b = vecs.select(
         F.col(id_col).alias("neighbor_id"),

@@ -47,31 +47,38 @@ def register(name: str, oracle: str | None, description: str = "",
 
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of
 # ``queries()``, so exposure order is risk order, not registration order.
-# Round 2 proved the whole relational core green under the driver gate;
-# the datapipe/streaming families only ever passed the local replica.
-# Surface them first (riskiest named queries up front, then the rest of
-# datapipe + streaming, then core) so the driver's sample covers the
-# operators most likely to diverge cross-engine.
+# The priority prefix rotates each round: queries that already hold a green
+# driver row (CORRECTNESS_r02/r03, post-testdata-regeneration) are excluded
+# from the prefix so the sample reaches never-gated queries first.
+# Round 4 prefix = the 18 queries with no driver row on current-generation
+# testdata (q_sql_passthrough's only row is r01, pre-regeneration), then
+# round-4 additions.
 _RISKIEST: tuple[str, ...] = (
-    "q_dedup_minhash_lsh",
-    "q_dedup_components",
-    "q_ann_ivf",
-    "q_kmeans",
-    "q_streaming_ohlcv",
-    "q_stream_stream_join",
-    # round-3 additions — new operators go under the driver gate first
-    "q_multimodal_decode",
-    "q_scan_excel",
-    "q_scan_jdbc",
-    "q_trend_slope_sql",
-    "q_corpus_shuffle",
-    "q_train_test_split",
-    "q_dedup_incremental",
-    "q_ntile_deciles",  # re-gate: global window -> exact_ntile rewrite
-    "q_knn_graph",
-    "q_tags_resolve",
-    "q_filter_funnel",
-    "q_corpus_shard",
+    # never driver-sampled on current testdata (VERDICT r3 item 1)
+    "q_sql_passthrough",  # the dashboard tab-3 surface
+    "q_approx_distinct",
+    "q_catalog_tables",
+    "q_corr_stats",
+    "q_cube",
+    "q_having_large_orders",
+    "q_percentiles",
+    "q_pivot_wide",
+    "q_quantile_bucket",
+    "q_rank_functions",
+    "q_scan_csv_quarantine",
+    "q_scd2_intervals",
+    "q_sessionize",
+    "q_snapshot_diff",
+    "q_streaming_stateful_pct",
+    "q_trend_slope",
+    "q_unpivot",
+    "q_value_histogram",
+    # round-4 additions — new operators go under the driver gate first
+    "q_ann_recall",
+    "q_multimodal_features",
+    "q_scan_mixed_dir",
+    "q_dedup_components_incremental",
+    "q_dedup_lsh_skew",
 )
 
 

@@ -130,6 +130,54 @@ def test_ann_brute_topk_matches_numpy(spark, sf_dir):
     assert [(r.neighbor_id, r.sim) for r in got] == [(i, s) for s, i in order]
 
 
+def test_probe_buckets_flip_one_least_confident_bit(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(v=[0.5, -0.01, 2.0, -3.0])]  # dim 1 is least confident
+    )
+    dims = [0, 1, 2, 3]
+    one = df.select(SIM.probe_buckets("v", dims, 1).alias("p")).head().p
+    two = df.select(SIM.probe_buckets("v", dims, 2).alias("p")).head().p
+    assert one == ["1010"]
+    # second probe flips exactly dim 1's bit (smallest |component|)
+    assert two == ["1010", "1110"]
+
+
+def test_recall_at_k_self_is_one_and_monotone_in_probes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = list(range(8))
+    brute = SIM.ann_brute_topk(emb, ids, k=5)
+    self_recall = SIM.recall_at_k(brute, brute).collect()
+    assert all(r.recall == 1.0 for r in self_recall)
+    dims = [0, 1, 2, 3]
+    p1 = SIM.ann_bucket_topk(emb, ids, k=5, bucket_dims=dims, n_probe=1)
+    p2 = SIM.ann_bucket_topk(emb, ids, k=5, bucket_dims=dims, n_probe=2)
+    r1 = {r.query_id: r.recall for r in SIM.recall_at_k(p1, brute).collect()}
+    r2 = {r.query_id: r.recall for r in SIM.recall_at_k(p2, brute).collect()}
+    # candidates(p2) ⊇ candidates(p1) and ranking is by exact sim, so
+    # per-query recall cannot drop when probing more cells
+    assert set(r1) == set(r2)
+    assert all(r2[q] >= r1[q] for q in r1)
+
+
+def test_ivf_multiprobe_monotone(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from real_big_data_project_spark.datapipe.clustering import kmeans_assign
+
+    ids = list(range(8))
+    lists = kmeans_assign(emb, k=8, n_assign=2).select(
+        "vec_id", F.col("cluster").alias("label")
+    )
+    brute = SIM.ann_brute_topk(emb, ids, k=5)
+    hits = {}
+    for p in (1, 2):
+        approx = SIM.ann_ivf_topk(emb, ids, k=5, n_probe=p, lists=lists)
+        rec = SIM.recall_at_k(approx, brute).collect()
+        hits[p] = sum(r.recall for r in rec) / len(rec)
+    assert hits[2] >= hits[1]
+
+
 def test_multimodal_features_deterministic_and_shaped(docs):
     assets = MM.synthetic_assets(docs)
     f1 = MM.extract_features(assets).orderBy("asset_id").collect()
