@@ -35,6 +35,14 @@ def _read_any(spark: SparkSession, path: str) -> DataFrame:
         sep = "\t" if path.endswith(".tsv") else ","
         return (spark.read.option("header", "true").option("sep", sep)
                 .option("mode", "DROPMALFORMED").csv(path))
+    if os.path.isdir(path) and any(
+        n.endswith((".csv", ".xlsx")) for n in os.listdir(path)
+    ):
+        # mixed Euronext feed dir (.csv + .xlsx accumulating together,
+        # reference etl/etl.py:507-511): per-format dispatch, union by name
+        from .sources.mixed_source import read_mixed_dir
+
+        return read_mixed_dir(spark, path)
     return spark.read.parquet(path)
 
 

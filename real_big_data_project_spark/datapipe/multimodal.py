@@ -72,7 +72,9 @@ def synthetic_assets(docs: DataFrame, modality_col: str = "source") -> DataFrame
     )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
+def decode_image_stub(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, list[float] | None]:
     """STUB DECODER — deterministic fake.
 
     A real deployment replaces this body with e.g.::
@@ -84,16 +86,40 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
     PIL/ffmpeg are not installed in this container, so we derive
     deterministic pseudo-dimensions and a pseudo-feature vector from the
-    payload's sha1 — stable across runs/engines, which lets the plumbing
-    be tested end-to-end without the codec.
+    payload's md5 — stable across runs/engines AND reproducible in ANSI
+    SQL (the oracle's engine ships md5, not sha1), which puts even the
+    stub path under the value-level correctness gate.
+
+    A NULL payload decodes to NULL dims/features rather than failing the
+    job: at corpus scale a missing blob is data to quarantine downstream
+    (filter on width IS NULL), not a reason to kill a 1000-executor stage.
     """
     if payload is None:
-        raise NotImplementedError("real decoder required for NULL-payload repair")
-    h = hashlib.sha1(payload).digest()
+        return None, None, None
+    h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     features = [round(b / 255.0, 6) for b in h[2:2 + FEATURE_DIM]]
     return width, height, features
+
+
+def decode_dispatch(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, list[float] | None]:
+    """Per-payload codec dispatch — the mixed-feed decode entry point
+    (mirrors the reference's per-file format dispatch at
+    /root/reference/etl/etl.py:507-511, lifted to binary payloads):
+    sniff the container magic, route to the real decoder when one exists
+    (24-bit BMP here), fall back to the pluggable stub otherwise, and
+    pass NULL payloads through as NULL rows. Returns
+    (codec, width, height, features)."""
+    if payload is None:
+        return None, None, None, None
+    if payload[:2] == b"BM":
+        w, h, feats = decode_bmp(payload)
+        return "bmp", w, h, feats
+    w, h, feats = decode_image_stub(payload)
+    return "stub", w, h, feats
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -250,6 +276,39 @@ def extract_bmp_features(assets: DataFrame) -> DataFrame:
             })
 
     return assets.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
+
+
+DISPATCH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("modality", T.StringType(), False),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("features", T.ArrayType(T.DoubleType()), True),
+])
+
+
+def extract_features_dispatch(assets: DataFrame) -> DataFrame:
+    """Mixed-format decode: ONE mapInPandas stage that sniffs each
+    payload's magic and routes to the real decoder (BMP) or the pluggable
+    stub (decode_dispatch). Shuffle-free — format dispatch is a per-row
+    decision inside the Arrow batch, not a split/union of the plan, so a
+    100 TB mixed feed stays a single map stage regardless of the format
+    mix per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_dispatch(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].astype("int64"),
+                "modality": pdf["modality"],
+                "codec": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+                "features": [d[3] for d in decoded],
+            })
+
+    return assets.mapInPandas(run, schema=DISPATCH_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -167,15 +167,21 @@ def exact_ntile(
     ranked = global_row_number(df, order, out_col="_grn",
                                num_ranges=num_ranges)
     total = ranked.agg(F.max("_grn").alias("_N"))
-    q = F.expr(f"_N div {n_buckets}")
-    r = F.col("_N") % n_buckets
-    cut = r * (q + 1)  # ranks 1..cut live in the q+1-sized buckets
-    rn = F.col("_grn")
-    bucket = F.when(
-        rn <= cut, F.ceil(rn / (q + 1))
-    ).otherwise(r + F.ceil((rn - cut) / F.greatest(q, F.lit(1))))
+    # Pure integer arithmetic (`div`, never double division + ceil): with
+    # double math a near-integer quotient can round down past 2^53-scale
+    # ranks and misbucket a row. ceil(m / d) ≡ (m - 1) div d + 1 for
+    # positive integers, exact at any rank.
     return (
         ranked.crossJoin(F.broadcast(total))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("_grn", "_N")
+        .withColumn("_q", F.expr(f"_N div {n_buckets}"))
+        .withColumn("_r", F.col("_N") % n_buckets)
+        .withColumn("_cut", F.col("_r") * (F.col("_q") + 1))
+        .withColumn(
+            out_col,
+            F.expr(
+                "CASE WHEN _grn <= _cut THEN (_grn - 1) div (_q + 1) + 1 "
+                "ELSE _r + (_grn - _cut - 1) div greatest(_q, 1) + 1 END"
+            ).cast("int"),
+        )
+        .drop("_grn", "_N", "_q", "_r", "_cut")
     )

@@ -121,6 +121,26 @@ def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_excel_dir(spark, path, NATION_SCHEMA)
 
 
+@register(
+    "q_scan_mixed_dir",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="S2+S3 — ONE directory holding .csv AND .xlsx daily files, "
+                "dispatched per format (the reference's Euronext loop, "
+                "etl/etl.py:507-511): pathGlobFilter'd DROPMALFORMED tsv "
+                "scan ∪ executor-side xlsx decode, union by name. Nation "
+                "split across one tsv file + one xlsx file + a malformed "
+                "csv the reader must skip; the whole table roundtrips.",
+)
+def q_scan_mixed_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.csv_source import NATION_SCHEMA
+    from ..sources.mixed_source import ensure_nation_mixed, read_mixed_dir
+
+    path = ensure_nation_mixed(spark, sf_dir)
+    return read_mixed_dir(spark, path, NATION_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / scalar cleansing
 # ---------------------------------------------------------------------------

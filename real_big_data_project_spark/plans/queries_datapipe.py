@@ -794,23 +794,63 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_md5_byte(hx: str, i: int) -> str:
+    """Byte ``i`` (1-indexed) of an md5 digest given its lowercase hex
+    string column ``hx``: 16·nibble(2i−1) + nibble(2i)."""
+    hex_digits = "0123456789abcdef"
+    hi = f"(strpos('{hex_digits}', substr({hx}, {2 * i - 1}, 1)) - 1)"
+    lo = f"(strpos('{hex_digits}', substr({hx}, {2 * i}, 1)) - 1)"
+    return f"(16 * {hi} + {lo})"
+
+
 @register(
     "q_multimodal_features",
-    oracle=None,  # mapInPandas decode — genuinely non-SQL; rows-only check
-    description="decode→resize→feature-extract over binary payloads via "
-                "Arrow-batched mapInPandas (the engine's only Python hot "
-                "path); decoder is a deterministic stub (no codecs in this "
-                "container), the Spark plumbing is real. Rows-only gate; "
-                "determinism is pinned by tests/test_datapipe.py.",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             doc_id % 193 AS b
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    stub AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             {_sql_md5_byte('md5(text)', 1)} AS hb1,
+             {_sql_md5_byte('md5(text)', 2)} AS hb2,
+             {_sql_md5_byte('md5(text)', 3)} AS hb3
+      FROM documents WHERE doc_id % 3 != 0
+    )
+    SELECT doc_id AS asset_id, 'image' AS modality, 'bmp' AS codec,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(b + (w - 1) / 2.0 + (h - 1) / 2.0, 6) AS f0,
+           8 AS dim
+    FROM img
+    UNION ALL
+    SELECT doc_id AS asset_id, modality, 'stub' AS codec,
+           CAST(16 + hb1 % 240 AS INT) AS width,
+           CAST(16 + hb2 % 240 AS INT) AS height,
+           round(CAST(hb3 AS DOUBLE) / 255, 6) AS f0,
+           8 AS dim
+    FROM stub
+    """,
+    description="Mixed-format decode→feature-extract over binary payloads "
+                "via ONE Arrow-batched mapInPandas stage with per-payload "
+                "codec dispatch (decode_dispatch): BMP magic → REAL struct "
+                "decoder, anything else → the pluggable md5 stub standing in "
+                "for codecs absent from this container. Both paths sit under "
+                "the DuckDB oracle (BMP stats are closed-form in doc_id; the "
+                "stub is md5-derived, reproducible in SQL) — was rows-only "
+                "through round 3 (VERDICT r3 item 3).",
     tags=("datapipe", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe import multimodal as MM
 
     docs = R.load_table(spark, sf_dir, "documents")
-    feats = MM.extract_features(MM.synthetic_assets(docs))
+    imgs = MM.bmp_assets(docs.filter(F.col("doc_id") % 3 == 0))
+    rest = MM.synthetic_assets(docs).filter(F.col("modality") != "image")
+    feats = MM.extract_features_dispatch(imgs.unionByName(rest))
     return feats.select(
-        "asset_id", "modality", "width", "height",
+        "asset_id", "modality", "codec", "width", "height",
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("dim"),
     )

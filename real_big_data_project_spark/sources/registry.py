@@ -26,16 +26,26 @@ from ..session import ensure_session_confs
 
 def fixture_tag(sf_dir: str) -> str:
     """Artifact-cache tag for a scale-factor dir: readable basename plus a
-    short hash of the ABSOLUTE path and a stat signature (name, mtime,
-    size) of the dir's parquet files. Two sf dirs sharing a basename can
-    never collide, and a driver REGENERATION of the testdata in place
-    (same path, new files — it happens every round) invalidates every
-    derived fixture instead of silently serving stale copies."""
+    short hash of the ABSOLUTE path and a stat signature (relative path,
+    mtime, size) of EVERY file under the dir, recursively, prefixed with
+    the file count. Two sf dirs sharing a basename can never collide, and
+    a driver REGENERATION of the testdata in place (same path, new files —
+    it happens every round) invalidates every derived fixture instead of
+    silently serving stale copies — including regenerations that switch to
+    directory-shaped parquet datasets, add non-parquet inputs, or rewrite
+    a file preserving mtime+size (the count and path set still shift)."""
     norm = os.path.normpath(os.path.abspath(sf_dir))
     h = hashlib.sha1(norm.encode())
-    for p in sorted(_glob.glob(os.path.join(norm, "*.parquet"))):
+    files = sorted(
+        p
+        for p in _glob.glob(os.path.join(norm, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+    )
+    h.update(f"n={len(files)}".encode())
+    for p in files:
         st = os.stat(p)
-        h.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}".encode())
+        rel = os.path.relpath(p, norm)
+        h.update(f"{rel}:{st.st_mtime_ns}:{st.st_size}".encode())
     return f"{os.path.basename(norm)}_{h.hexdigest()[:10]}"
 
 TABLES = (

@@ -27,6 +27,16 @@ from ..session import ensure_session_confs
 # Physical schema of events.parquet scanned raw: `ts` as the int64 the
 # file actually stores (epoch nanos OR micros depending on the round's
 # testdata — sources/registry.events_ts_divisor sniffs which).
+#
+# SPARK-VERSION DEPENDENCY: imposing LongType on a TIMESTAMP(NANOS)
+# column is gated by spark.sql.legacy.parquet.nanosAsLong (set by
+# ensure_session_confs), but reading TIMESTAMP(MICROS) as long is NOT
+# governed by any conf — it relies on the vectorized reader accepting the
+# physical-int64 reinterpretation, which has varied across Spark
+# releases. If a Spark upgrade starts throwing
+# SchemaColumnConvertNotSupportedException from the streaming readers,
+# the fix is here: read `ts` as TimestampType for MICROS files and only
+# keep the long+divisor path (events_ts_divisor) for NANOS files.
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType(), True),
     T.StructField("ts", T.LongType(), True),  # raw epoch int64 (ns or us)

@@ -40,6 +40,30 @@ def test_cli_ingest_writes_all_tables(ingested):
     assert res["counts"]["daystocks"] == 2   # (SOLV d1, BARE d1)
 
 
+def test_cli_ingest_mixed_format_euronext_dir(spark, tmp_path, ingested):
+    """A feed dir holding one .csv, one .xlsx, and a malformed csv must
+    ingest to the SAME tables as the parquet euronext feed (reference
+    mixed-dir behavior, etl/etl.py:507-511)."""
+    from real_big_data_project_spark.sources.excel_source import write_xlsx
+
+    snaps = str(tmp_path / "snaps.parquet")
+    spark.createDataFrame(RAW_ROWS, RAW_SCHEMA).write.parquet(snaps)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = [f.name for f in EURONEXT_SCHEMA.fields]
+    with open(feed / "day1.csv", "w") as fh:
+        fh.write("\t".join(cols) + "\n")
+        fh.write("\t".join(EURONEXT_ROWS[0]) + "\n")
+    write_xlsx(str(feed / "day2.xlsx"), cols, [EURONEXT_ROWS[1]])
+    (feed / "zz_bad.csv").write_text("h1\th2\nmalformed single field\n")
+    out = str(tmp_path / "warehouse")
+    args = build_parser().parse_args(
+        ["ingest", "--snapshots", snaps, "--euronext", str(feed),
+         "--out", out])
+    res = cmd_ingest(spark, args)
+    assert res["counts"] == ingested[0]["counts"]
+
+
 def test_cli_sql_passthrough(spark, ingested):
     _, out = ingested
     args = build_parser().parse_args(

@@ -178,6 +178,29 @@ def test_ivf_multiprobe_monotone(spark, sf_dir):
     assert hits[2] >= hits[1]
 
 
+def test_decode_dispatch_routes_by_magic_and_passes_nulls(spark):
+    bmp = MM.encode_bmp(4, 3, 10)
+    assert MM.decode_dispatch(bmp)[0] == "bmp"
+    assert MM.decode_dispatch(b"not a bmp")[0] == "stub"
+    assert MM.decode_dispatch(None) == (None, None, None, None)
+    # distributed: NULL payloads surface as NULL rows, not job failures
+    from pyspark.sql import Row
+
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, modality="image", payload=bytearray(bmp),
+                n_bytes=len(bmp), content_md5=None),
+            Row(asset_id=2, modality="image", payload=None,
+                n_bytes=None, content_md5=None),
+        ],
+        schema=MM.ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.extract_features_dispatch(assets).collect()}
+    assert rows[1].codec == "bmp" and rows[1].width == 4 and rows[1].height == 3
+    assert rows[2].codec is None and rows[2].width is None
+    assert rows[2].features is None
+
+
 def test_multimodal_features_deterministic_and_shaped(docs):
     assets = MM.synthetic_assets(docs)
     f1 = MM.extract_features(assets).orderBy("asset_id").collect()
