@@ -130,6 +130,60 @@ def connected_components(
     )
 
 
+def incremental_components(
+    new_edges: DataFrame,
+    index: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW edges into an
+    existing (node, component_id) assignment WITHOUT recomputing the full
+    graph — the 100 TB dedup reality, where daily increments land against
+    a corpus-scale component index.
+
+    ``new_edges`` = pairs incident to new docs (batch↔batch and
+    batch↔corpus); ``index`` = the prior full run's (node, component_id),
+    where component_id = min member id. Exactness argument: each existing
+    component is collapsed to its representative (= its min id), so
+    min-reachability over {batch ids ∪ reps} equals min-reachability over
+    the full node set, and a new doc bridging two old components merges
+    them through their reps. The star rounds therefore run on a
+    BATCH-SIZED graph; the corpus participates only through two id-keyed
+    joins (endpoint→rep collapse, then touched-component relabel) — at
+    scale both sides partition on the id, and the stored index would be
+    bucketed so the relabel join is exchange-free. Returns the UPDATED
+    (node, component_id) for every previously-labeled node plus every
+    node of ``new_edges`` — equal, by construction, to a full recompute
+    on the union graph (q_dedup_components_incremental pins this against
+    the full-closure oracle)."""
+    idx_s = index.select(F.col("node").alias("s"),
+                         F.col("component_id").alias("_sc"))
+    idx_d = index.select(F.col("node").alias("d"),
+                         F.col("component_id").alias("_dc"))
+    collapsed = (
+        new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .join(idx_s, "s", "left")
+        .join(idx_d, "d", "left")
+        .select(
+            F.coalesce("_sc", F.col("s")).alias("src"),
+            F.coalesce("_dc", F.col("d")).alias("dst"),
+        )
+    )
+    small = connected_components(collapsed, max_iter=max_iter)
+    relab = small.select(F.col("node").alias("_rep"),
+                         F.col("component_id").alias("_new"))
+    relabeled = (
+        index.join(relab, index["component_id"] == relab["_rep"], "left")
+        .select(
+            "node",
+            F.coalesce("_new", F.col("component_id")).alias("component_id"),
+        )
+    )
+    fresh = small.join(index.select("node"), "node", "left_anti")
+    return relabeled.unionByName(fresh)
+
+
 def dedup_components(
     pairs: DataFrame,
     left: str = "doc_a",

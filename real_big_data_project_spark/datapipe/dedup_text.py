@@ -151,6 +151,7 @@ def minhash_lsh_candidates(
     n_shingle: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: (doc_a < doc_b, n_bands) candidate pairs.
 
@@ -159,8 +160,43 @@ def minhash_lsh_candidates(
     count shared bands. With 4 bands × 2 rows, docs with Jaccard j collide
     w.p. 1-(1-j²)⁴ — ≈1 for the planted near-dups (j ≈ 0.9), ≈0 for
     unrelated 3-gram shingle sets.
+
+    ``max_bucket`` guards against DEGENERATE buckets (a boilerplate blob
+    shared by 30% of the corpus puts b docs in one bucket → b² pairs, the
+    blowup shape the round-3 band widening hit by accident): buckets
+    larger than the cap emit STAR edges (every member → the bucket's min
+    doc_id, O(b) rows) instead of all pairs. The star keeps every member
+    of the bucket CONNECTED — exactly what component-based dedup needs —
+    while giving up direct pairwise candidates inside oversized buckets
+    (a pair of dissimilar docs colliding in a hot bucket is no longer
+    directly verified; acceptable, since hot buckets are precisely where
+    all-pairs verification is unpayable). Default None = exact all-pairs,
+    which every DuckDB oracle mirrors; tests/test_stress.py pins the
+    capped path's pair ceiling + connectivity on a planted skew corpus.
     """
     bands = minhash_band_keys(minhash_components(docs, n_shingle, id_col, text_col))
+    if max_bucket is not None:
+        stats = bands.groupBy("band").agg(
+            F.count("*").alias("_bn"), F.min("doc_id").alias("_bmin")
+        )
+        bj = bands.join(stats, "band")
+        small = bj.filter(F.col("_bn") <= max_bucket)
+        a, b = small.alias("a"), small.alias("b")
+        allp = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        star = bj.filter(
+            (F.col("_bn") > max_bucket) & (F.col("doc_id") != F.col("_bmin"))
+        ).select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        return (
+            allp.unionByName(star)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_bands"))
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -262,6 +298,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (doc_a < doc_b, hamming ≤ max_hamming).
 
@@ -271,6 +308,13 @@ def simhash_near_pairs(
     and 65k distinct values per band keep bucket fan-out sublinear.
     Hamming is bit_count(xor) on the two integer halves — codegen'd bit
     ops in the join, never an interpreted per-character fold.
+
+    ``max_bucket`` caps degenerate buckets exactly like
+    minhash_lsh_candidates: oversized band buckets emit star edges to the
+    bucket-min doc (still hamming-verified), trading pigeonhole
+    completeness INSIDE hot buckets for O(b) instead of O(b²) work —
+    connectivity through the bucket min is preserved, which is what
+    component-dedup consumes. Default None = exact (oracle-mirrored).
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     sig = simhash_signatures(docs, id_col, text_col)
@@ -281,18 +325,54 @@ def simhash_near_pairs(
     bands = sig.select(
         "doc_id", "sig_hi", "sig_lo", F.explode(band_keys).alias("band")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
+    if max_bucket is not None:
+        stats = bands.groupBy("band").agg(
+            F.count("*").alias("_bn"), F.min("doc_id").alias("_bmin")
+        )
+        bj = bands.join(stats, "band")
+        small = bj.filter(F.col("_bn") <= max_bucket)
+        a, b = small.alias("a"), small.alias("b")
+        allp = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.sig_hi").alias("hi_a"), F.col("a.sig_lo").alias("lo_a"),
             F.col("b.sig_hi").alias("hi_b"), F.col("b.sig_lo").alias("lo_b"),
         )
-        .distinct()
-    )
+        mins = bj.filter(F.col("doc_id") == F.col("_bmin")).select(
+            "band",
+            F.col("doc_id").alias("doc_a"),
+            F.col("sig_hi").alias("hi_a"), F.col("sig_lo").alias("lo_a"),
+        )
+        star = (
+            bj.filter(
+                (F.col("_bn") > max_bucket) & (F.col("doc_id") != F.col("_bmin"))
+            )
+            .select(
+                "band",
+                F.col("doc_id").alias("doc_b"),
+                F.col("sig_hi").alias("hi_b"), F.col("sig_lo").alias("lo_b"),
+            )
+            .join(mins, "band")
+            .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        )
+        pairs = allp.unionByName(star).distinct()
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig_hi").alias("hi_a"), F.col("a.sig_lo").alias("lo_a"),
+                F.col("b.sig_hi").alias("hi_b"), F.col("b.sig_lo").alias("lo_b"),
+            )
+            .distinct()
+        )
     ham = (
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))

@@ -178,6 +178,44 @@ def test_ivf_multiprobe_monotone(spark, sf_dir):
     assert hits[2] >= hits[1]
 
 
+def test_incremental_components_merges_two_old_components(spark):
+    """A new doc bridging two existing components must merge them — every
+    old member relabels to the union's min id — and batch-only chains must
+    come out identical to a from-scratch run."""
+    from pyspark.sql import Row
+
+    from real_big_data_project_spark.datapipe.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    index = spark.createDataFrame(
+        [Row(node=1, component_id=1), Row(node=4, component_id=1),
+         Row(node=2, component_id=2), Row(node=5, component_id=2),
+         Row(node=3, component_id=3)]
+    )
+    # new doc 10 touches comps 1 and 2 (via members 4 and 5, NOT the
+    # reps); new docs 11-12 form their own chain
+    edges = spark.createDataFrame(
+        [Row(src=10, dst=4), Row(src=10, dst=5), Row(src=11, dst=12)]
+    )
+    got = {
+        r.node: r.component_id
+        for r in incremental_components(edges, index).collect()
+    }
+    assert got == {1: 1, 4: 1, 2: 1, 5: 1, 10: 1, 3: 3, 11: 11, 12: 11}
+    # equivalence with full recompute on the union graph
+    full_edges = spark.createDataFrame(
+        [Row(src=1, dst=4), Row(src=2, dst=5), Row(src=10, dst=4),
+         Row(src=10, dst=5), Row(src=11, dst=12)]
+    )
+    full = {
+        r.node: r.component_id
+        for r in connected_components(full_edges).collect()
+    }
+    assert {n: c for n, c in got.items() if n != 3} == full
+
+
 def test_decode_dispatch_routes_by_magic_and_passes_nulls(spark):
     bmp = MM.encode_bmp(4, 3, 10)
     assert MM.decode_dispatch(bmp)[0] == "bmp"

@@ -50,3 +50,67 @@ def test_query_stable_under_adversarial_session(adversarial_spark, name):
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     res = check_query(adversarial_spark, name, sf)
     assert res.ok and res.values_bit_equal, f"{name}: {res.detail}"
+
+
+def _degenerate_corpus(spark, n=2000, hot_mod=10, hot_lt=3):
+    """30% of docs share ONE boilerplate blob (byte-identical text); the
+    rest are pairwise-distinct. The hot docs collapse into a single band
+    bucket in both MinHash-LSH and SimHash — the b² candidate blowup the
+    round-3 band widening only caught by accident."""
+    from pyspark.sql import functions as F
+
+    sid = F.col("id").cast("string")
+    hot = F.lit("lorem ipsum boilerplate " * 8)
+    uniq = F.concat_ws(
+        " ", F.md5(sid), F.md5(F.concat(F.lit("u2:"), sid)),
+        F.md5(F.concat(F.lit("u3:"), sid)),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % hot_mod < hot_lt, hot).otherwise(uniq).alias("text"),
+    )
+
+
+def test_skewed_corpus_band_joins_stay_bounded(adversarial_spark):
+    """Planted degenerate corpus: max_bucket must keep candidate counts
+    O(n) (star edges, not b² all-pairs) within a time budget, while the
+    hot docs stay CONNECTED — the property component-dedup consumes.
+    AQE (on by default) handles the shuffle-partition skew; the pair
+    ceiling here is the semantic guard on candidate volume itself."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.datapipe import dedup_text as DT
+    from real_big_data_project_spark.datapipe.components import dedup_components
+
+    spark = adversarial_spark
+    n = 2000
+    docs = _degenerate_corpus(spark, n).localCheckpoint()
+    n_hot = docs.filter(F.col("doc_id") % 10 < 3).count()  # 600
+
+    # the degeneracy is real: uncapped all-pairs is quadratic in the blob
+    uncapped = DT.minhash_lsh_candidates(docs, n_shingle=3).count()
+    assert uncapped >= n_hot * (n_hot - 1) // 2  # ≥ 179 700 pairs
+
+    ceiling = 20 * n
+    t0 = time.monotonic()
+    cand = DT.minhash_lsh_candidates(docs, n_shingle=3, max_bucket=64)
+    n_cand = cand.count()
+    minhash_secs = time.monotonic() - t0
+    assert n_cand <= ceiling, f"minhash candidates {n_cand} > {ceiling}"
+    assert minhash_secs < 120, f"minhash took {minhash_secs:.1f}s"
+
+    comp = dedup_components(cand)
+    hot_comps = (
+        comp.filter(F.col("doc_id") % 10 < 3)
+        .select("component_id").distinct().count()
+    )
+    assert hot_comps == 1, "star edges must keep the hot bucket connected"
+
+    t0 = time.monotonic()
+    sh = DT.simhash_near_pairs(docs, max_hamming=3, max_bucket=64)
+    n_sh = sh.count()
+    simhash_secs = time.monotonic() - t0
+    assert n_sh <= ceiling, f"simhash pairs {n_sh} > {ceiling}"
+    assert simhash_secs < 120, f"simhash took {simhash_secs:.1f}s"
