@@ -97,7 +97,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     )
     from .drain import drain_available_now
 
-    out = drain_available_now(deduped, "append", "dedup")
+    out = drain_available_now(deduped, "append", "dedup", shuffle_partitions="16")
     # recover the engine's session-tz-independent NTZ timestamps
     return out.withColumn(
         "ts",

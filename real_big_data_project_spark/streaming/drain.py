@@ -37,10 +37,102 @@ _ARTIFACTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "_artifacts",
 )
-DRAIN_ROOT = os.path.join(_ARTIFACTS, "stream_drains")
 
-# Small fixed state-store count for one-shot local drains (see module doc).
+
+def _drain_root() -> str:
+    """Drained-output parent dir: tmpfs when the host has one. The drain
+    output is a local harness artifact read back once by the correctness
+    gate — a production job's foreachBatch writes to the real durable
+    sink instead. Falls back to the repo-local _artifacts dir."""
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/rbds_stream_drains"
+    return os.path.join(_ARTIFACTS, "stream_drains")
+
+
+DRAIN_ROOT = _drain_root()
+
+# Default state-store count for one-shot local drains (see module doc).
+# Per-drain overrides: measured at sf0.1, Python-bound stateful work
+# (applyInPandasWithState) scales to 16 stores (6.2 s → 2.2 s), while the
+# state-volume-bound stream-stream join is fastest at 8 (2.6 s vs 5.3 s
+# at 32 — each extra store adds per-batch commit overhead on a state
+# that is events-sized either way).
 DRAIN_SHUFFLE_PARTITIONS = "8"
+
+
+def _checkpoint_root() -> str:
+    """Checkpoint parent dir: tmpfs when the host has one. A one-shot
+    drain's checkpoint (offset/commit logs, state snapshots) is write-once
+    throwaway metadata, but every file is fsync'd — on tmpfs the fsyncs
+    are free, which shaves a measurable slice of the per-stream fixed
+    cost. A RESUMABLE production job must keep its checkpoint on durable
+    shared storage instead; this root is only ever handed fresh per-drain
+    dirs that are deleted on exit."""
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/rbds_stream_ckpt"
+    return os.path.join(_ARTIFACTS, "stream_ckpt")
+
+
+def warm_streaming(spark) -> None:
+    """One-time streaming-engine warmup: the FIRST started stream in a JVM
+    pays ~2 s of class loading, execution-thread and state-store machinery
+    setup that every later stream skips (measured: 3.5 s first drain vs
+    1.1 s second for the identical query), and each stateful OPERATOR
+    KIND pays its own first-use cost on top (join state format, Python
+    worker pool for applyInPandasWithState, dedup key store). Draining a
+    single-row file through one tiny query per operator family moves all
+    of it out of whichever catalog query happens to run first — bench.py
+    calls this right after its batch warmup so per-query streaming
+    timings measure the query, not engine initialization. This is the
+    shared warm engine all six catalog drains then reuse (fresh
+    checkpoints per drain keep semantics untouched)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    with tempfile.TemporaryDirectory(prefix="rbds_warm_") as d:
+        src = os.path.join(d, "src")
+        spark.range(2).select(
+            F.current_timestamp().alias("ts"), F.col("id")
+        ).write.parquet(src)
+
+        def stream():
+            return spark.readStream.schema("ts timestamp, id bigint").parquet(src)
+
+        # windowed aggregation (state store save/restore)
+        agg = (
+            stream().withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute")).agg(F.count("*").alias("n"))
+        )
+        drain_available_now(agg, "complete", "warm_agg").collect()
+        # watermarked dedup (key store)
+        ded = stream().withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["id"])
+        drain_available_now(ded, "append", "warm_dedup").collect()
+        # stream-stream interval join (dual-sided state)
+        a = stream().select(F.col("id").alias("ida"), F.col("ts").alias("tsa")) \
+            .withWatermark("tsa", "1 minute")
+        b = stream().select(F.col("id").alias("idb"), F.col("ts").alias("tsb")) \
+            .withWatermark("tsb", "1 minute")
+        j = a.join(b, (F.col("ida") == F.col("idb")) & (F.col("tsb") >= F.col("tsa")))
+        drain_available_now(j, "append", "warm_join").collect()
+        # applyInPandasWithState (Arrow + Python worker pool + group state)
+        out_t = T.StructType([T.StructField("id", T.LongType())])
+        st_t = T.StructType([T.StructField("n", T.LongType())])
+
+        def fn(key, pdfs, state):
+            for _ in pdfs:
+                pass
+            import pandas as pd
+
+            yield pd.DataFrame({"id": [key[0]]})
+
+        pys = stream().groupBy("id").applyInPandasWithState(
+            fn, outputStructType=out_t, stateStructType=st_t,
+            outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        drain_available_now(pys, "append", "warm_pandas_state").collect()
 
 
 def drain_available_now(
@@ -48,13 +140,16 @@ def drain_available_now(
     output_mode: str,
     tag: str,
     timeout_s: int = 300,
+    shuffle_partitions: str | None = None,
 ) -> DataFrame:
     """Run `df` (a streaming DataFrame) to completion with
     ``trigger(availableNow=True)``, writing every micro-batch to a fresh
     parquet directory via ``foreachBatch``; return a lazy batch scan of
     the drained output (empty-but-typed frame if the source was empty)."""
     spark = df.sparkSession
-    out_dir = os.path.join(DRAIN_ROOT, f"{tag}_{uuid.uuid4().hex[:8]}")
+    run_id = f"{tag}_{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(DRAIN_ROOT, run_id)
+    ckpt_dir = os.path.join(_checkpoint_root(), run_id)
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -62,7 +157,10 @@ def drain_available_now(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        shuffle_partitions or DRAIN_SHUFFLE_PARTITIONS,
+    )
     # One-shot drains emit every row in the data batches themselves; the
     # trailing no-data micro-batch only advances watermarks/evicts state,
     # which a terminating drain doesn't need — skip its fixed cost.
@@ -71,6 +169,7 @@ def drain_available_now(
         q = (
             df.writeStream.foreachBatch(write_batch)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt_dir)  # fresh per drain
             .trigger(availableNow=True)
             .queryName(f"drain_{tag}")
             .start()
@@ -87,6 +186,9 @@ def drain_available_now(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], df.schema)

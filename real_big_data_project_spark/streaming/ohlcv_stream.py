@@ -119,4 +119,4 @@ def run_ohlcv_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume", (F.col("event_id") % 1000 + 1).cast("long")
     )
     bars = ohlcv_daily_stream(ticks)
-    return drain_available_now(bars, "complete", "ohlcv")
+    return drain_available_now(bars, "complete", "ohlcv", shuffle_partitions="16")

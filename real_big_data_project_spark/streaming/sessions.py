@@ -47,7 +47,7 @@ def run_streaming_sessions(
     )
     from .drain import drain_available_now
 
-    out = drain_available_now(sess, "complete", "sessions")
+    out = drain_available_now(sess, "complete", "sessions", shuffle_partitions="16")
     # recover session-tz-independent NTZ bounds (first/last event, not the
     # gap-padded window end)
     return out.select(

@@ -111,7 +111,8 @@ def run_stateful_pct_change(
     )
     from .drain import drain_available_now
 
-    out = drain_available_now(changed, "append", "stateful_pct")
+    out = drain_available_now(changed, "append", "stateful_pct",
+                              shuffle_partitions="16")
     return out.withColumn(
         "ts", F.expr(ts_long_to_ntz(events_ts_divisor(sf_dir, glob)))
     )
