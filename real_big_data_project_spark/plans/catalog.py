@@ -78,7 +78,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_multimodal_features",
     "q_scan_mixed_dir",
     "q_dedup_components_incremental",
-    "q_dedup_lsh_skew",
+    "q_dedup_recall",
 )
 
 

@@ -346,6 +346,99 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DT.ngram_jaccard_pairs(corpus, cand, n_shingle=3, threshold=0.6)
 
 
+# Dedup-recall harness: probe every 25th corpus doc; truth = exact
+# Jaccard ≥ 0.6 partners over the whole corpus (broadcast probe sets ×
+# corpus — linear in corpus size, the same scale shape as the ANN brute
+# baseline); measured = the LSH band join's candidates. Companion to
+# q_ann_recall: blocking recall is MEASURED, not asserted.
+DEDUP_RECALL_MOD = 25
+DEDUP_RECALL_THR = 0.6
+
+
+@register(
+    "q_dedup_recall",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()},
+    probes AS (
+      SELECT doc_id AS probe_id, sh AS shp FROM shingled
+      WHERE doc_id % {DEDUP_RECALL_MOD} = 0
+    ),
+    truth AS (
+      SELECT p.probe_id, s.doc_id AS partner_id
+      FROM shingled s CROSS JOIN probes p
+      WHERE s.doc_id != p.probe_id
+        AND CAST(len(list_intersect(s.sh, p.shp)) AS DOUBLE)
+            / len(list_distinct(list_concat(s.sh, p.shp)))
+            >= {DEDUP_RECALL_THR}
+    ),
+    pcand AS (
+      SELECT DISTINCT p.doc_id AS probe_id, o.doc_id AS partner_id
+      FROM bands p JOIN bands o ON p.band = o.band AND p.doc_id != o.doc_id
+      WHERE p.doc_id % {DEDUP_RECALL_MOD} = 0
+    )
+    SELECT t.probe_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           round(CAST(count(c.partner_id) AS DOUBLE) / count(*), 5) AS recall
+    FROM truth t LEFT JOIN pcand c
+      ON t.probe_id = c.probe_id AND t.partner_id = c.partner_id
+    GROUP BY t.probe_id
+    ORDER BY t.probe_id
+    """,
+    description="MinHash-LSH blocking recall MEASURED against exact-Jaccard "
+                "ground truth (companion to q_ann_recall): for every 25th "
+                "corpus doc, its true near-dup partners (exact 3-gram "
+                "Jaccard ≥ 0.6, broadcast probe-sets × corpus — linear, "
+                "never O(n²)) vs the partners the 4×2 band join actually "
+                "surfaces. Theory says a j≈0.9 pair collides w.p. "
+                "1-(1-j²)⁴ ≈ 1; this query reports the realized number.",
+    tags=("datapipe",),
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    corp = CP.with_near_duplicates(docs)
+    sets = DT.shingle_sets(corp, 3)
+    probes = sets.filter(F.col("doc_id") % DEDUP_RECALL_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("shingles").alias("shp")
+    )
+    jac = (
+        F.size(F.array_intersect("shingles", "shp")).cast("double")
+        / F.size(F.array_union("shingles", "shp"))
+    )
+    truth = (
+        sets.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .filter(jac >= DEDUP_RECALL_THR)
+        .select("probe_id", F.col("doc_id").alias("partner_id"))
+    )
+    bands = DT.minhash_band_keys(DT.minhash_components(corp, 3))
+    pb = bands.filter(F.col("doc_id") % DEDUP_RECALL_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), "band"
+    )
+    cand = (
+        pb.join(bands, "band")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("probe_id", F.col("doc_id").alias("partner_id"))
+        .distinct()
+    )
+    hits = truth.join(cand, ["probe_id", "partner_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        truth.groupBy("probe_id").agg(F.count("*").alias("n_true"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_true",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_true"), 5
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 @register(
     "q_dedup_simhash",
     oracle=f"""

@@ -1,14 +1,19 @@
 """sf1.0 robustness sweep: bit-exactness + scaling behavior one decade up.
 
-For every non-streaming catalog query, run the Spark plan at sf0.1 and at
-the synthetic sf1.0 (tools/make_sf1.py), check the sf1.0 result against
-its DuckDB oracle, and record the time ratio. With 10x the rows, a
-healthy plan's time ratio stays well under ~10 (fixed costs amortize);
-a superlinear ratio flags a plan that would not survive the next decade.
+For EVERY catalog query — streaming included since round 4 — run the
+Spark plan at sf0.1 and at the synthetic sf1.0 (tools/make_sf1.py),
+check the sf1.0 result against its DuckDB oracle, and record the time
+ratio. With 10x the rows, a healthy plan's time ratio stays well under
+~10 (fixed costs amortize); a superlinear ratio flags a plan that would
+not survive the next decade.
+
+Streaming queries drain the 10x source through the normal availableNow
+foreachBatch drain: their ratios mix the fixed per-stream machinery
+(scale-independent, see PERF_NOTES) with state-volume-proportional work,
+so expect sublinear ratios for the agg family and near-linear for the
+state-heavy dedup/join. warm_streaming runs untimed first.
 
 Writes one JSON report to _artifacts/sweep_sf1.json and prints a summary.
-Streaming queries are excluded (their cost is drain fixed overhead, not
-data — the stress suite covers them separately).
 """
 
 from __future__ import annotations
@@ -47,10 +52,12 @@ def main() -> int:
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     C._load_all()
+    from real_big_data_project_spark.streaming.drain import warm_streaming
+
+    warm_streaming(spark)
     report: dict[str, dict] = {}
     mismatches, errors, superlinear = [], [], []
-    names = [n for n, spec in C.QUERIES.items() if "streaming" not in spec.tags
-             and n not in SKIP]
+    names = [n for n in C.QUERIES if n not in SKIP]
     print(f"sweeping {len(names)} queries: {SF01} -> {SF1}")
     for i, name in enumerate(names):
         spec = C.QUERIES[name]
