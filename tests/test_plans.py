@@ -264,9 +264,20 @@ def test_jdbc_scan_is_ranged_parallel(qmap, spark, sf_dir):
 def test_knn_graph_is_bucket_equi_join(qmap, spark, sf_dir):
     """The all-pairs kNN graph must join on the LSH cell key (hash/merge
     equi-join) — a BroadcastNestedLoopJoin or cartesian product here is
-    the O(n^2) shape the operator exists to avoid."""
+    the O(n^2) shape the operator exists to avoid. Multi-probe must keep
+    the same shape: the probe fan-out rides the query side, the neighbor
+    side is still hashed once on the bucket key."""
     plan = plan_of(qmap, spark, sf_dir, "q_knn_graph")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+    from real_big_data_project_spark.datapipe.similarity import knn_graph
+    from real_big_data_project_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mp = knn_graph(emb, k=3, n_probe=2)
+    mplan = mp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in mplan
+    assert "CartesianProduct" not in mplan
