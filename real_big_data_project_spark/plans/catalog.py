@@ -79,6 +79,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_scan_mixed_dir",
     "q_dedup_components_incremental",
     "q_dedup_recall",
+    "q_ann_recall_ivf",
 )
 
 

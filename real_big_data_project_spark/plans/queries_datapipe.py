@@ -1059,6 +1059,98 @@ def _sql_kmeans_lists() -> str:
     """
 
 
+def _sql_ivf_topk(probe_cte: str, out: str, k: int) -> str:
+    """Top-k scan over the probed inverted lists (shared by the IVF query
+    and its recall harness)."""
+    return f"""
+    {out} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, lv.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY round({_sql_cosine('p.qv', 'lv.v')}, 5) DESC,
+                                           lv.vec_id ASC) AS rank
+        FROM lv JOIN {probe_cte} p
+          ON lv.label = p.probe_label AND lv.vec_id != p.query_id
+      ) WHERE rank <= {k}
+    )
+    """
+
+
+@register(
+    "q_ann_recall_ivf",
+    oracle=f"""
+    WITH {SQL_VECS},
+    {_sql_kmeans_lists()},
+    cents AS (
+      SELECT label,
+             list(cval ORDER BY dim) AS centroid
+      FROM (
+        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY label, i
+      )
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM lv
+          WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    pranked AS (
+      SELECT q.query_id, q.qv, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round({_sql_cosine('q.qv', 'c.centroid')}, 5) DESC,
+                        c.label ASC) AS prn
+      FROM q CROSS JOIN cents c
+    ),
+    probes1 AS (SELECT query_id, qv, probe_label FROM pranked WHERE prn <= 1),
+    probes2 AS (SELECT query_id, qv, probe_label FROM pranked WHERE prn <= 2),
+    {_sql_ivf_topk('probes1', 'top1', RECALL_K)},
+    {_sql_ivf_topk('probes2', 'top2', RECALL_K)},
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, lv.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({_sql_cosine('q.qv', 'lv.v')}, 5) DESC,
+                                           lv.vec_id ASC) AS rank
+        FROM lv CROSS JOIN q WHERE lv.vec_id != q.query_id
+      ) WHERE rank <= {RECALL_K}
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           round(CAST(count(t1.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p1,
+           round(CAST(count(t2.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p2
+    FROM brute b
+    LEFT JOIN top1 t1 ON b.query_id = t1.query_id AND b.neighbor_id = t1.neighbor_id
+    LEFT JOIN top2 t2 ON b.query_id = t2.query_id AND b.neighbor_id = t2.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+    description="IVF recall@10 MEASURED (completes the q_ann_recall story "
+                "for the data-driven index): per-query recall of the "
+                "k-means inverted-list scan vs exact brute force, probing "
+                "1 vs 2 nearest centroids. Work per query is "
+                "n_probe × |corpus|/n_lists; the recall join is "
+                "output-sized.",
+    tags=("datapipe",),
+)
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.clustering import kmeans_assign
+
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    lists = kmeans_assign(emb, k=KMEANS_K, n_assign=2).select(
+        "vec_id", F.col("cluster").alias("label")
+    )
+    brute = SIM.ann_brute_topk(emb, RECALL_QUERY_IDS, k=RECALL_K)
+    p1 = SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K, n_probe=1,
+                          lists=lists)
+    p2 = SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K, n_probe=2,
+                          lists=lists)
+    r1 = SIM.recall_at_k(p1, brute).withColumnRenamed("recall", "recall_p1")
+    r2 = SIM.recall_at_k(p2, brute).select(
+        "query_id", F.col("recall").alias("recall_p2")
+    )
+    return r1.join(r2, "query_id").orderBy("query_id")
+
+
 @register(
     "q_ann_ivf",
     oracle=f"""
