@@ -135,6 +135,27 @@ def warm_streaming(spark) -> None:
         drain_available_now(pys, "append", "warm_pandas_state").collect()
 
 
+def _prune_drain_root(max_age_s: int = 7200) -> None:
+    """Drop drain outputs older than ``max_age_s``. Outputs are read back
+    lazily, so they cannot be deleted at drain exit — but on tmpfs they
+    are RAM, and unbounded accumulation across a long session would eat
+    it. Two hours comfortably outlives any consumer (the gate reads the
+    scan within seconds of the drain)."""
+    import shutil
+    import time
+
+    if not os.path.isdir(DRAIN_ROOT):
+        return
+    cutoff = time.time() - max_age_s
+    for name in os.listdir(DRAIN_ROOT):
+        p = os.path.join(DRAIN_ROOT, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def drain_available_now(
     df: DataFrame,
     output_mode: str,
@@ -146,6 +167,7 @@ def drain_available_now(
     ``trigger(availableNow=True)``, writing every micro-batch to a fresh
     parquet directory via ``foreachBatch``; return a lazy batch scan of
     the drained output (empty-but-typed frame if the source was empty)."""
+    _prune_drain_root()
     spark = df.sparkSession
     run_id = f"{tag}_{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(DRAIN_ROOT, run_id)
