@@ -21,6 +21,37 @@ from ..functions.vectors import cosine, sign_bucket
 SIM_ROUND = 5  # absorb cross-engine float-summation jitter
 PERTURB_EPS = 0.01
 DEFAULT_BUCKET_DIMS = list(range(8))
+AUTO_TARGET_CELL = 32  # aimed-for vectors per LSH cell under auto sizing
+
+
+def auto_bucket_dims(
+    n_vectors: int,
+    target_cell: int = AUTO_TARGET_CELL,
+    lo: int = 4,
+    hi: int = 16,
+) -> list[int]:
+    """Size the sign-LSH cell count to the corpus: |dims| =
+    ceil(log2(n / target_cell)), clamped to [lo, hi]. Fixed dims give a
+    constant-factor candidate reduction but pair counts still grow
+    O(n²/2^|dims|) — the round-4 sf1.0 sweep measured q_knn_graph at 38×
+    for 10× vectors on the fixed 8-dim default. Scaling dims with log2(n)
+    keeps expected cell size (and so per-vector candidate work) constant;
+    tests/test_datapipe.py pins the growth factor. The cost of one extra
+    dim is halved recall per cell — compensate with n_probe, which is
+    O(probes) work, not O(cell²)."""
+    import math
+
+    n_cells = max(1, n_vectors) / max(1, target_cell)
+    return list(range(min(hi, max(lo, math.ceil(math.log2(max(n_cells, 2)))))))
+
+
+def _resolve_dims(bucket_dims, emb: DataFrame, id_col: str) -> list[int]:
+    """None → the fixed default (oracle-mirrored catalog configuration);
+    "auto" → corpus-sized via auto_bucket_dims (one count job — an
+    offline index build knows its corpus size anyway)."""
+    if bucket_dims == "auto":
+        return auto_bucket_dims(emb.select(id_col).count())
+    return bucket_dims or DEFAULT_BUCKET_DIMS
 
 
 def as_double(col: Column | str) -> Column:
@@ -123,7 +154,7 @@ def ann_bucket_topk(
     recall_at_k against ann_brute_topk (q_ann_recall pins it). Still one
     bucket-key join: the probe fan-out lives on the broadcast query side,
     so the corpus is never reshuffled."""
-    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    dims = _resolve_dims(bucket_dims, emb, id_col)
     vecs = emb.select(
         F.col(id_col),
         as_double(vec_col).alias("v"),
@@ -325,7 +356,7 @@ def embedding_near_duplicates(
     sign buckets match (a true near-duplicate at cosine ≥ 0.9 almost
     surely agrees on every sign; the sign-preserving planted perturbation
     provably does). One shuffle on the bucket key."""
-    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    dims = _resolve_dims(bucket_dims, emb, id_col)
     vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col).withColumn(
         "bucket", sign_bucket("v", dims)
     )
@@ -368,7 +399,7 @@ def knn_graph(
     ``n_probe`` > 1 widens each query's reach to its n_probe-1
     least-confident bit-flip cells (probe_buckets) — query-side fan-out
     only, the neighbor side is still hashed once."""
-    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    dims = _resolve_dims(bucket_dims, emb, id_col)
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("bucket", sign_bucket("v", dims))

@@ -161,6 +161,44 @@ def test_recall_at_k_self_is_one_and_monotone_in_probes(spark, sf_dir):
     assert all(r2[q] >= r1[q] for q in r1)
 
 
+def test_auto_bucket_dims_bound_pair_growth(spark):
+    """Fixed dims let LSH candidate pairs grow O(n²/2^|dims|); auto dims
+    (cells ≈ n / target) must keep per-vector candidate work ~constant.
+    Pinned on synthetic corpora one decade apart: pair growth under auto
+    sizing stays near-linear while fixed-dim growth is ~quadratic."""
+    from pyspark.sql import functions as F
+
+    def corpus(n):
+        # deterministic pseudo-random unit-ish vectors, 16 dims
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.hash(F.col("id").cast("string"), F.lit(d)) % 1000)
+                .cast("double") / 500.0 - 1.0
+                for d in range(16)
+            ]).alias("embedding"),
+        )
+
+    def n_pairs(emb, dims):
+        d = SIM._resolve_dims(dims, emb, "vec_id")
+        vecs = emb.select(
+            "vec_id", SIM.as_double("embedding").alias("v")
+        ).withColumn("bucket", SIM.sign_bucket("v", d))
+        a = vecs.select(F.col("vec_id").alias("qa"), F.col("bucket").alias("ba"))
+        b = vecs.select(F.col("vec_id").alias("qb"), F.col("bucket").alias("bb"))
+        return a.join(
+            b, (F.col("ba") == F.col("bb")) & (F.col("qa") < F.col("qb"))
+        ).count()
+
+    assert SIM.auto_bucket_dims(1000) == list(range(5))
+    assert SIM.auto_bucket_dims(10000) == list(range(9))
+    small, big = corpus(1000), corpus(10000)
+    fixed_growth = n_pairs(big, list(range(5))) / max(n_pairs(small, list(range(5))), 1)
+    auto_growth = n_pairs(big, "auto") / max(n_pairs(small, "auto"), 1)
+    assert fixed_growth > 50      # ~quadratic: 100x pairs for 10x rows
+    assert auto_growth < 25       # near-linear under corpus-sized cells
+
+
 def test_ivf_multiprobe_monotone(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     from real_big_data_project_spark.datapipe.clustering import kmeans_assign
