@@ -80,6 +80,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_dedup_components_incremental",
     "q_dedup_recall",
     "q_ann_recall_ivf",
+    "q_incremental_ohlcv",
 )
 
 

@@ -2373,3 +2373,134 @@ def q_tags_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("seq"),
     )
     return resolve_tags_log(v1.unionAll(v2).unionAll(tomb))
+
+
+# ---------------------------------------------------------------------------
+# Incremental continuous-aggregate refresh (round 4)
+# ---------------------------------------------------------------------------
+
+# Late-arrival window: the 3 days before the new-data cutoff contribute
+# stragglers (every 199th event) — late data clusters near the present,
+# so the invalidation set stays a handful of partitions at any scale.
+_TICK_LATE_MOD = 199
+_TICK_NEW_DAYS = 2     # cutoff = max_day - _TICK_NEW_DAYS
+_TICK_LATE_DAYS = 3    # late window = [cutoff - 3, cutoff)
+
+
+def _tick_batch_pred(cutoff, day_col: str = "day", id_col: str = "event_id"):
+    """The pending batch: every tick on a new day (>= cutoff) plus late
+    stragglers inside the late window. Shared verbatim between the fixture
+    build (stored bars = everything else) and the refresh query, so the
+    two sides can never drift."""
+    day = F.col(day_col)
+    late_lo = F.date_sub(F.lit(cutoff), _TICK_LATE_DAYS)
+    return (day >= F.lit(cutoff)) | (
+        (day >= late_lo) & (day < F.lit(cutoff)) & (F.col(id_col) % _TICK_LATE_MOD == 0)
+    )
+
+
+def _tick_store_cutoff(raw: DataFrame):
+    """max(day) - _TICK_NEW_DAYS over the day-PARTITION column: the agg
+    reads partition values, not data (metadata-sized — the one driver
+    scalar this query needs, same posture as the JDBC range bounds)."""
+    return raw.agg(
+        F.date_sub(F.max("day"), _TICK_NEW_DAYS).alias("c")
+    ).collect()[0]["c"]
+
+
+def _ensure_tick_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the hypertable-shaped substrate ONCE per testdata
+    generation: the raw tick store as DAY-PARTITIONED parquet (sinks.py's
+    time-chunking analogue of etl/timescaledb_model.py:159-169) and the
+    stored daily bars computed from everything EXCEPT the pending batch —
+    the state a nightly rollup job would hold before today's run."""
+    import os
+
+    from ..sources import sinks as S
+    from ..sources.csv_source import ARTIFACTS
+
+    base = os.path.join(ARTIFACTS, f"tick_store_{R.fixture_tag(sf_dir)}")
+    raw_dir = os.path.join(base, "raw")
+    bars_dir = os.path.join(base, "bars")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        ev = R.events_with_volume(spark, sf_dir)
+        S.write_time_partitioned(ev, raw_dir, ts="ts", key="user_id")
+        raw = S.read_time_partitioned(spark, raw_dir)
+        cutoff = _tick_store_cutoff(raw)
+        old = raw.filter(~_tick_batch_pred(cutoff))
+        bars = A.ohlcv_daily(
+            old, key="user_id", ts="ts", price="value", volume="volume",
+            day_alias="trade_date", tiebreak="event_id",
+        ).select(
+            "user_id", "trade_date", "open", "close", "high", "low",
+            F.col("volume").cast("bigint").alias("volume"), "mean",
+        )
+        # Tiny here; at 100 TB the bars table is itself day-partitioned so
+        # the merge's untouched majority is never even listed.
+        bars.write.mode("overwrite").parquet(bars_dir)
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    return raw_dir, bars_dir
+
+
+@register(
+    "q_incremental_ohlcv",
+    oracle="""
+    SELECT user_id, cast(ts AS DATE) AS trade_date,
+           first(value ORDER BY ts, event_id) AS open,
+           last(value ORDER BY ts, event_id) AS close,
+           max(value) AS high,
+           min(value) AS low,
+           cast(sum((event_id % 1000) + 1) AS BIGINT) AS volume,
+           (first(value ORDER BY ts, event_id) + last(value ORDER BY ts, event_id)
+            + max(value) + min(value)) / 4 AS mean
+    FROM events
+    GROUP BY user_id, cast(ts AS DATE)
+    """,
+    description="Incremental continuous-aggregate refresh (the TimescaleDB "
+                "hypertable-rollup pattern the reference leans on: "
+                "etl/etl.py:342-361 appends one aggregated day at a time "
+                "onto hypertables chunked by date, "
+                "etl/timescaledb_model.py:159-169). New + late ticks "
+                "invalidate a handful of days; ONLY those days are "
+                "re-aggregated from the day-partitioned raw store "
+                "(partition-pruned scan), then merged with the stored bars "
+                "via a broadcast anti-join on the tiny day set. Cost "
+                "scales with the increment, not the corpus — and the "
+                "ORACLE is the full recompute over all ticks, so "
+                "incremental == full is the checked invariant.",
+)
+def q_incremental_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import incremental as I
+    from ..sources import sinks as S
+
+    raw_dir, bars_dir = _ensure_tick_store(spark, sf_dir)
+    raw = S.read_time_partitioned(spark, raw_dir)
+    cutoff = _tick_store_cutoff(raw)
+
+    # Batch discovery scans only the late window + new days (static
+    # partition pruning: day >= cutoff - late_days).
+    batch = raw.filter(_tick_batch_pred(cutoff))
+    days = I.affected_days(batch, "day")
+
+    # Re-aggregate ONLY the touched days; the broadcast semi-join drives
+    # dynamic partition pruning on the day-partitioned raw scan.
+    touched = raw.join(F.broadcast(days), on="day", how="left_semi")
+    refreshed = A.ohlcv_daily(
+        touched, key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="trade_date", tiebreak="event_id",
+    ).select(
+        "user_id", "trade_date", "open", "close", "high", "low",
+        F.col("volume").cast("bigint").alias("volume"), "mean",
+    )
+
+    stored = spark.read.parquet(bars_dir)
+    merged = I.incremental_refresh(
+        stored, refreshed,
+        days.select(F.col("day").alias("trade_date")), "trade_date",
+    )
+    return merged.select(
+        "user_id", "trade_date", "open", "close", "high", "low",
+        F.col("volume").cast("bigint").alias("volume"), "mean",
+    )

@@ -281,3 +281,15 @@ def test_knn_graph_is_bucket_equi_join(qmap, spark, sf_dir):
     mplan = mp._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in mplan
     assert "CartesianProduct" not in mplan
+
+
+def test_incremental_ohlcv_prunes_partitions(qmap, spark, sf_dir):
+    """The refresh must touch only invalidated day partitions: static
+    pruning on the batch-discovery scan, DYNAMIC partition pruning on the
+    re-aggregation scan, and a broadcast anti-join for the merge — never
+    a shuffle of the stored-bars majority (operators/incremental.py)."""
+    plan = plan_of(qmap, spark, sf_dir, "q_incremental_ohlcv")
+    assert "dynamicpruning" in plan  # refresh scan prunes via the day set
+    assert "LeftAnti, BuildRight" in plan  # stored side keeps its layout
+    # batch discovery is a static range over the late window + new days
+    assert "PartitionFilters: [((day" in plan
