@@ -81,6 +81,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_dedup_recall",
     "q_ann_recall_ivf",
     "q_incremental_ohlcv",
+    "q_merge_upsert",
 )
 
 

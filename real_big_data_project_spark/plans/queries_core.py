@@ -2504,3 +2504,84 @@ def q_incremental_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "trade_date", "open", "close", "high", "low",
         F.col("volume").cast("bigint").alias("volume"), "mean",
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    changes AS (
+      SELECT c_custkey AS k, 'U' AS op, 1 AS seq,
+             c_name, c_mktsegment, c_acctbal + 100 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, 'U', 2, c_name, c_mktsegment, c_acctbal + 250
+      FROM customer WHERE c_custkey % 20 = 3
+      UNION ALL
+      SELECT c_custkey, 'D', 1, NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey + mx.m, 'I', 1, 'NEW:' || c_name, c_mktsegment,
+             c_acctbal / 2
+      FROM customer, mx WHERE c_custkey % 10 = 5
+    ),
+    latest AS (
+      SELECT k, op, c_name, c_mktsegment, c_acctbal FROM (
+        SELECT c.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT coalesce(l.k, s.c_custkey) AS c_custkey, l.op,
+             CASE WHEN l.k IS NOT NULL THEN l.c_name ELSE s.c_name END AS c_name,
+             CASE WHEN l.k IS NOT NULL THEN l.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
+             CASE WHEN l.k IS NOT NULL THEN l.c_acctbal ELSE s.c_acctbal END AS c_acctbal
+      FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.k
+    )
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM merged WHERE op IS NULL OR op != 'D'
+    """,
+    description="MERGE / CDC apply (SCD1): the reference's in-place row "
+                "mutations — per-key UPDATE on conflict (etl/etl.py:279) "
+                "and DELETE cleanups (etl/etl.py:817-823) — restated as "
+                "the lakehouse merge: an append-only change log (U/D/I "
+                "ops with seq) is resolved last-write-wins by ONE max_by "
+                "hash-aggregate, then applied through one full-outer "
+                "join (keep / replace / delete / insert). With the "
+                "snapshot bucketed on the key only the change side "
+                "shuffles; operators/merge.py.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert, resolve_change_log
+
+    cust = R.load_table(spark, sf_dir, "customer")
+    snap = cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    mx = F.broadcast(cust.agg(F.max("c_custkey").alias("_m")))
+
+    k = F.col("c_custkey")
+    upd1 = snap.filter(k % 10 == 3).select(
+        k.alias("c_custkey"), F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        "c_name", "c_mktsegment",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    upd2 = snap.filter(k % 20 == 3).select(
+        k.alias("c_custkey"), F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "c_name", "c_mktsegment",
+        (F.col("c_acctbal") + 250).alias("c_acctbal"),
+    )
+    dels = snap.filter(k % 10 == 7).select(
+        k.alias("c_custkey"), F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    ins = snap.filter(k % 10 == 5).crossJoin(mx).select(
+        (k + F.col("_m")).alias("c_custkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        F.concat(F.lit("NEW:"), F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+        (F.col("c_acctbal") / 2).alias("c_acctbal"),
+    )
+    log = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    latest = resolve_change_log(log, "c_custkey")
+    return merge_upsert(snap, latest, "c_custkey")

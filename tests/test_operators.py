@@ -105,3 +105,29 @@ def test_global_row_number_exact_without_exchange_reuse(spark, sf_dir):
         for r in orders.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_merge_upsert_edge_semantics(spark):
+    """CDC apply: delete-for-missing-key is a no-op (not an insert), a
+    re-keyed insert lands, and last-write-wins resolves duplicate seqs by
+    the op tiebreak (operators/merge.py)."""
+    from real_big_data_project_spark.operators.merge import (
+        merge_upsert, resolve_change_log)
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double")
+    log = spark.createDataFrame(
+        [
+            (2, "U", 1, "b1", 21.0),   # superseded by seq 2
+            (2, "U", 2, "b2", 22.0),
+            (9, "D", 1, None, None),   # delete of a key not in the snapshot
+            (3, "I", 1, "c", 30.0),    # insert
+            (1, "D", 1, None, None),   # delete of an existing key
+        ],
+        "k long, op string, seq int, name string, v double",
+    )
+    out = {
+        r.k: (r.name, r.v)
+        for r in merge_upsert(snap, resolve_change_log(log, "k"), "k").collect()
+    }
+    assert out == {2: ("b2", 22.0), 3: ("c", 30.0)}
