@@ -82,6 +82,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_ann_recall_ivf",
     "q_incremental_ohlcv",
     "q_merge_upsert",
+    "q_heavy_hitters",
 )
 
 

@@ -2585,3 +2585,31 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
     latest = resolve_change_log(log, "c_custkey")
     return merge_upsert(snap, latest, "c_custkey")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, count(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 39
+    ORDER BY n DESC, l_partkey
+    """,
+    description="Distributed heavy hitters (operators/heavy_hitters.py): "
+                "exact frequent-key detection via the two-pass "
+                "local-threshold algorithm — per-partition counts keep "
+                "keys with local count >= ceil(T/p) (pigeonhole: a "
+                "superset of every true heavy hitter under ANY "
+                "partitioning), then exact counts of the broadcast "
+                "candidate set only. The long tail never shuffles; the "
+                "result is exact and partitioning-invariant, so a plain "
+                "HAVING count(*) >= T oracle checks it bit-for-bit. "
+                "T=39 is the upper tail of the corpus (mean key "
+                "frequency 30 at every sf).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters
+
+    li = R.load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", threshold=39)

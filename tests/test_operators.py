@@ -131,3 +131,25 @@ def test_merge_upsert_edge_semantics(spark):
         for r in merge_upsert(snap, resolve_change_log(log, "k"), "k").collect()
     }
     assert out == {2: ("b2", 22.0), 3: ("c", 30.0)}
+
+
+def test_heavy_hitters_exact_and_partitioning_invariant(spark):
+    """The local-threshold candidate pass must never lose a true heavy
+    hitter, whatever the partitioning (operators/heavy_hitters.py)."""
+    from real_big_data_project_spark.operators.heavy_hitters import heavy_hitters
+
+    rows = (
+        [("hot",)] * 1000
+        + [(f"warm{i}",) for i in range(10) for _ in range(50)]
+        + [(f"tail{i}",) for i in range(5000)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    want = {("hot", 1000)} | {(f"warm{i}", 50) for i in range(10)}
+    for nparts in (1, 7, 32):
+        got = {
+            (r.k, r.n)
+            for r in heavy_hitters(df.repartition(nparts), "k", 50).collect()
+        }
+        assert got == want, f"nparts={nparts}"
+    # threshold=1 degenerates to plain distinct counts
+    assert heavy_hitters(df, "k", 1).count() == 5011
