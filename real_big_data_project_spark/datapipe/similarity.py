@@ -423,3 +423,52 @@ def knn_graph(
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     return _topk_per_query(scored, k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embeddings with the engine's own
+    k-means, compare vectors ONLY within their cluster, and drop every
+    vector that has a smaller-id neighbor at cosine ≥ threshold. Returns
+    (vec_id, label, keep).
+
+    Scale contract: the within-cluster scoring is quadratic in the
+    cluster size, so k must grow with the corpus (k ≈ n / desired_cluster
+    — the same rule as auto_bucket_dims; SemDeDup itself runs k in the
+    tens of thousands at web scale). Clustering is broadcast-centroid
+    map-only passes; the pair join shuffles once on the cluster label;
+    the keep flag is one id-keyed left join. Planted perturbed copies
+    (with_perturbed_copies) provide the positives on the natural-dup-free
+    synthetic corpus, exactly as in embedding_near_duplicates."""
+    from .clustering import kmeans_assign
+
+    vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col)
+    asg = kmeans_assign(vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v")
+    lv = vecs.join(
+        asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"
+    )
+    a = lv.select(F.col("vec_id").alias("_ia"), F.col("v").alias("va"),
+                  F.col("label").alias("la"))
+    b = lv.select(F.col("vec_id").alias("_ib"), F.col("v").alias("vb"),
+                  F.col("label").alias("lb"))
+    dup = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("_ib") < F.col("_ia")))
+        .withColumn("sim", F.round(cosine("va", "vb"), SIM_ROUND))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("_ia").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        lv.join(dup.withColumn("_dup", F.lit(True)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -83,6 +83,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_incremental_ohlcv",
     "q_merge_upsert",
     "q_heavy_hitters",
+    "q_semantic_dedup",
 )
 
 

@@ -2434,3 +2434,52 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pos").alias("last_pos"),
         )
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {SQL_VECS},
+    {SQL_PVECS},
+    sinit AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             v AS c
+      FROM (SELECT vec_id, v FROM pvecs ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    {_sql_kmeans_assign('pvecs', 'sinit', 'sasg1')},
+    scents AS (
+      SELECT cluster, list(cval ORDER BY dim) AS c
+      FROM (
+        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        FROM sasg1, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY cluster, i
+      )
+      GROUP BY cluster
+    ),
+    {_sql_kmeans_assign('pvecs', 'scents', 'sasg2')},
+    slv AS (SELECT vec_id, CAST(cluster AS INT) AS label, v FROM sasg2),
+    sdup AS (
+      SELECT DISTINCT a.vec_id
+      FROM slv a JOIN slv b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+       AND round({_sql_cosine('a.v', 'b.v')}, 5) >= 0.9
+    )
+    SELECT slv.vec_id, slv.label, (sdup.vec_id IS NULL) AS keep
+    FROM slv LEFT JOIN sdup ON slv.vec_id = sdup.vec_id
+    """,
+    description="Semantic deduplication, SemDeDup-shaped (cluster with "
+                "the engine's own k-means, compare ONLY within clusters, "
+                "drop every vector with a smaller-id neighbor at cosine "
+                ">= 0.9): the embedding-space complement of the lexical "
+                "MinHash/SimHash families — catches paraphrases that "
+                "share no n-grams. k must scale with the corpus (within-"
+                "cluster scoring is quadratic in cluster size; "
+                "datapipe/similarity.py::semantic_dedup contract); the "
+                "catalog runs the oracle-mirrorable k=4. Planted "
+                "perturbed copies provide positives, as in "
+                "q_dedup_embedding.",
+    tags=("datapipe",),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, k=KMEANS_K, threshold=0.9)

@@ -507,3 +507,21 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir, docs):
     sample_mean = sum(r.n_chars for r in s1) / len(s1)
     corpus_mean = (base.agg(F.avg("n_chars")).collect()[0][0])
     assert sample_mean > corpus_mean
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """Planted perturbed copies (cosine ≈ 1 to a smaller-id original) are
+    dropped — except the occasional copy whose original lands across a
+    cluster boundary, the inherent within-cluster-only recall loss of the
+    SemDeDup shape (documented in semantic_dedup's contract). Originals
+    always survive: the corpus has no natural near-dups."""
+    from real_big_data_project_spark.datapipe.similarity import semantic_dedup
+    from real_big_data_project_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = semantic_dedup(emb, k=4, threshold=0.9).collect()
+    dropped = {r.vec_id for r in out if not r.keep}
+    planted = {r.vec_id for r in out if r.vec_id >= n}
+    assert len(planted & dropped) >= 0.98 * len(planted)
+    assert all(r.keep for r in out if r.vec_id < n)
