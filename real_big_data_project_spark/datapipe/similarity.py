@@ -472,3 +472,62 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+SQ8_LEVELS = 127
+
+
+def quantize_sq8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = max|x|/127,
+    q_i = floor(x_i / scale + 0.5) stored as TINYINT — 8× smaller than the
+    float64 column (4× vs float32), the difference between an embedding
+    corpus that fits executor memory at 100 TB scale and one that spills.
+    Returns (vec_id, q: array<tinyint>, scale).
+
+    floor(x + 0.5) rather than round(): half-up is representation-exact
+    and identical across engines (the oracle mirrors it), where round()'s
+    half-even/half-away convention differs. A zero vector quantizes to
+    all-zero (scale 0 guard). |x/scale| ≤ 127 by construction, so no
+    clamp is needed and the tinyint cast cannot wrap."""
+    base = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    return (
+        base.withColumn(
+            "scale",
+            F.array_max(F.transform("v", lambda x: F.abs(x))) / SQ8_LEVELS,
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "v",
+                lambda x: F.when(
+                    F.col("scale") > 0, F.floor(x / F.col("scale") + 0.5)
+                ).otherwise(F.lit(0)).cast("tinyint"),
+            ).alias("q"),
+            "scale",
+        )
+    )
+
+
+def ann_sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over the int8-quantized corpus. Cosine is
+    invariant to each vector's uniform scale, so ranking on the quantized
+    ints needs NO dequantization — the scale column never enters the
+    score. Same plan as ann_brute_topk (broadcast queries, no corpus
+    shuffle); the quantized corpus is 8× less IO/memory, which is the
+    entire point at scale. Recall loss comes only from rounding and is
+    measured by q_ann_recall_sq8, never asserted."""
+    qz = quantize_sq8(emb, id_col=id_col, vec_col=vec_col).select(
+        "vec_id",
+        F.transform("q", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return ann_brute_topk(qz, query_ids, k=k)

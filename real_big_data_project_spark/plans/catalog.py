@@ -84,6 +84,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_merge_upsert",
     "q_heavy_hitters",
     "q_semantic_dedup",
+    "q_ann_recall_sq8",
 )
 
 

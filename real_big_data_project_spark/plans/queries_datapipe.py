@@ -2483,3 +2483,69 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = R.load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, k=KMEANS_K, threshold=0.9)
+
+
+@register(
+    "q_ann_recall_sq8",
+    oracle=f"""
+    WITH {SQL_VECS},
+    qz AS (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN s > 0
+                                         THEN floor(x / s + 0.5)
+                                         ELSE 0 END) AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127 AS s
+            FROM vecs)
+    ),
+    qf AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+           WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    qfq AS (SELECT vec_id AS query_id, q AS qqv FROM qz
+            WHERE vec_id IN ({_RECALL_IDS_SQL})),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT f.query_id, vecs.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY f.query_id
+                                  ORDER BY round({_sql_cosine('f.qv', 'vecs.v')}, 5) DESC,
+                                           vecs.vec_id ASC) AS rank
+        FROM vecs CROSS JOIN qf f WHERE vecs.vec_id != f.query_id
+      ) WHERE rank <= {RECALL_K}
+    ),
+    sq8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT f.query_id, qz.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY f.query_id
+                                  ORDER BY round({_sql_cosine('f.qqv', 'qz.q')}, 5) DESC,
+                                           qz.vec_id ASC) AS rank
+        FROM qz CROSS JOIN qfq f WHERE qz.vec_id != f.query_id
+      ) WHERE rank <= {RECALL_K}
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_sq8
+    FROM brute b
+    LEFT JOIN sq8 s ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+    description="Int8 scalar-quantized ANN with MEASURED recall@10: "
+                "per-vector symmetric quantization (scale = max|x|/127, "
+                "tinyint storage — 8x less embedding IO/memory, the "
+                "100 TB capacity lever), ranked by cosine on the raw "
+                "ints (per-vector scale cancels out of cosine, so no "
+                "dequantization in the hot path) against the exact "
+                "float brute force. Same broadcast-query no-corpus-"
+                "shuffle plan as q_ann_topk; recall loss is rounding-"
+                "only and measured, never asserted "
+                "(datapipe/similarity.py::quantize_sq8).",
+    tags=("datapipe",),
+)
+def q_ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    brute = SIM.ann_brute_topk(emb, RECALL_QUERY_IDS, k=RECALL_K)
+    sq8 = SIM.ann_sq8_topk(emb, RECALL_QUERY_IDS, k=RECALL_K)
+    return (
+        SIM.recall_at_k(sq8, brute)
+        .select("query_id", "n_true", F.col("recall").alias("recall_sq8"))
+        .orderBy("query_id")
+    )

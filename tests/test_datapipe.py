@@ -525,3 +525,25 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
     planted = {r.vec_id for r in out if r.vec_id >= n}
     assert len(planted & dropped) >= 0.98 * len(planted)
     assert all(r.keep for r in out if r.vec_id < n)
+
+
+def test_quantize_sq8_contract(spark, sf_dir):
+    """Quantized values stay in the tinyint range with no wrap, the schema
+    is array<tinyint>, and a zero vector quantizes to all-zero."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.datapipe.similarity import quantize_sq8
+    from real_big_data_project_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = spark.createDataFrame(
+        [(10_000, [0.0] * 4)], "vec_id long, embedding array<double>")
+    qz = quantize_sq8(emb.select("vec_id", "embedding").unionByName(z))
+    assert dict(qz.dtypes)["q"] == "array<tinyint>"
+    stats = qz.select(
+        F.min(F.array_min("q")).alias("lo"),
+        F.max(F.array_max("q")).alias("hi"),
+    ).collect()[0]
+    assert -127 <= stats.lo and stats.hi <= 127
+    zq = qz.filter(F.col("vec_id") == 10_000).collect()[0]
+    assert set(zq.q) == {0} and zq.scale == 0.0
