@@ -85,6 +85,8 @@ _RISKIEST: tuple[str, ...] = (
     "q_heavy_hitters",
     "q_semantic_dedup",
     "q_ann_recall_sq8",
+    "q_scan_jsonl",
+    "q_scan_orc",
 )
 
 

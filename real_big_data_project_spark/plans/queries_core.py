@@ -2613,3 +2613,50 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = R.load_table(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_partkey", threshold=39)
+
+
+@register(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+    description="JSONL source round-trip (sources/text_formats.py): "
+                "supplier materialized as JSON-lines, read back with a "
+                "DECLARED schema and DROPMALFORMED (planted garbage "
+                "lines must vanish), oracled against the parquet "
+                "original — doubles round-trip bit-exactly through "
+                "Spark's shortest-representation JSON writer. Landing-"
+                "zone format only at scale: convert to columnar at the "
+                "first hop.",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.text_formats import ensure_supplier_jsonl, read_supplier_jsonl
+
+    path = ensure_supplier_jsonl(spark, sf_dir)
+    return read_supplier_jsonl(spark, path)
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part
+    WHERE p_size > 25
+    """,
+    description="ORC source round-trip with predicate pushdown "
+                "(sources/text_formats.py): part materialized as ORC, "
+                "scanned with a p_size filter that must reach the scan "
+                "as PushedFilters (stripe min/max skipping — the ORC "
+                "twin of parquet row-group pruning; plan-pinned in "
+                "tests/test_plans.py).",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.text_formats import ensure_part_orc, read_part_orc
+
+    path = ensure_part_orc(spark, sf_dir)
+    return (
+        read_part_orc(spark, path)
+        .filter(F.col("p_size") > 25)
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )

@@ -293,3 +293,8 @@ def test_incremental_ohlcv_prunes_partitions(qmap, spark, sf_dir):
     assert "LeftAnti, BuildRight" in plan  # stored side keeps its layout
     # batch discovery is a static range over the late window + new days
     assert "PartitionFilters: [((day" in plan
+
+
+def test_orc_scan_pushes_the_filter(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_scan_orc")
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]" in plan
