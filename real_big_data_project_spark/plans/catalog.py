@@ -87,6 +87,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_ann_recall_sq8",
     "q_scan_jsonl",
     "q_scan_orc",
+    "q_zorder_layout",
 )
 
 

@@ -2660,3 +2660,52 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") > 25)
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
     )
+
+
+@register(
+    "q_zorder_layout",
+    oracle="""
+    WITH b AS (
+      SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(date_part('day', ts)) AS lo_d, max(date_part('day', ts)) AS hi_d
+      FROM events
+    ),
+    n AS (
+      SELECT event_id,
+             CAST(floor((user_id - b.lo_u) * 4095 / greatest(b.hi_u - b.lo_u, 1)) AS BIGINT) AS nu,
+             CAST(floor((date_part('day', ts) - b.lo_d) * 4095 / greatest(b.hi_d - b.lo_d, 1)) AS BIGINT) AS nd
+      FROM events, b
+    )
+    SELECT event_id,
+           CAST((((nu >> 0) & 1) << 0) | (((nd >> 0) & 1) << 1) |
+             (((nu >> 1) & 1) << 2) | (((nd >> 1) & 1) << 3) |
+             (((nu >> 2) & 1) << 4) | (((nd >> 2) & 1) << 5) |
+             (((nu >> 3) & 1) << 6) | (((nd >> 3) & 1) << 7) |
+             (((nu >> 4) & 1) << 8) | (((nd >> 4) & 1) << 9) |
+             (((nu >> 5) & 1) << 10) | (((nd >> 5) & 1) << 11) |
+             (((nu >> 6) & 1) << 12) | (((nd >> 6) & 1) << 13) |
+             (((nu >> 7) & 1) << 14) | (((nd >> 7) & 1) << 15) |
+             (((nu >> 8) & 1) << 16) | (((nd >> 8) & 1) << 17) |
+             (((nu >> 9) & 1) << 18) | (((nd >> 9) & 1) << 19) |
+             (((nu >> 10) & 1) << 20) | (((nd >> 10) & 1) << 21) |
+             (((nu >> 11) & 1) << 22) | (((nd >> 11) & 1) << 23) AS BIGINT) AS z
+    FROM n
+""",
+    description="Z-order clustering key (sources/layout.py): user_id and "
+                "day-of-month min/max-NORMALIZED into a shared 12-bit "
+                "budget, then Morton-interleaved into one sort key — "
+                "pure codegen bit arithmetic, no UDF. Normalization is "
+                "the load-bearing step: unnormalized dims degenerate to "
+                "a single-column sort (measured; see the module "
+                "docstring). zorder_write clusters files on this key so "
+                "parquet min/max stats prune file reads for predicates "
+                "on EITHER column or boxes on both "
+                "(tests/test_sinks.py pins the pruning ratios).",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import with_zvalue
+
+    ev = R.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    return with_zvalue(ev, ["user_id", "dom"]).select("event_id", "z")

@@ -180,3 +180,61 @@ def test_jdbc_sink_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
     )
     assert back.rdd.getNumPartitions() == 4
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-clustered files must carry tight min/max ranges on BOTH z-columns
+    (≤ ~60% of files match a narrow predicate on either one), where a
+    single-column sort prunes nothing on its off-dimension
+    (sources/layout.py — including the normalization that prevents the
+    degenerate single-column collapse)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.sources.layout import zorder_write
+    from real_big_data_project_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    zdir, udir = str(tmp_path / "z"), str(tmp_path / "u")
+    zorder_write(ev, zdir, ["user_id", "dom"], n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(udir)
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.read_metadata(f)
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    nm = col.path_in_schema
+                    mins[nm] = min(mins.get(nm, st.min), st.min)
+                    maxs[nm] = max(maxs.get(nm, st.max), st.max)
+            out.append((mins, maxs))
+        return out
+
+    def matching(ranges, col, lo, hi):
+        return sum(
+            1 for mn, mx in ranges
+            if not (mx[col] < lo or mn[col] > hi)
+        )
+
+    z, u = file_ranges(zdir), file_ranges(udir)
+    # z-order: both dimensions prune
+    assert matching(z, "user_id", 3, 5) <= 0.65 * len(z)
+    assert matching(z, "dom", 10, 12) <= 0.65 * len(z)
+    # single-column sort: off-dimension predicate matches every file
+    assert matching(u, "dom", 10, 12) == len(u)
+    # and the rewrite loses no rows
+    assert spark.read.parquet(zdir).count() == ev.count()
