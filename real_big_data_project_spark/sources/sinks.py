@@ -161,3 +161,44 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions))
         )
     return r.load()
+
+
+def compact_time_partitions(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    days: list | None = None,
+) -> None:
+    """Small-file compaction for a date-partitioned store — the table
+    maintenance every streaming/incremental writer needs: micro-batches
+    and per-task commits leave each day fragmented into many tiny files,
+    and at 100 TB the scan cost becomes file-open dominated (and the
+    NameNode/listing cost grows without bound).
+
+    One job, no driver loop over files: repartition ON the partition
+    column (each day's rows converge on one task — the same move as
+    write_time_partitioned), cap output size with maxRecordsPerFile, and
+    rewrite ONLY the touched partitions via dynamic partition overwrite.
+    `days=None` compacts the whole store; pass the invalidated-day list
+    (operators/incremental.py::affected_days) to make compaction an
+    increment-sized nightly step instead of a corpus rewrite.
+
+    Rewrites preserve the in-file (key-free) ordering only per shuffle
+    output; re-apply sortWithinPartitions upstream if a sorted layout
+    matters (zorder_write / write_time_partitioned already do).
+    """
+    df = spark.read.parquet(path)
+    if days is not None:
+        df = df.filter(F.col(PARTITION_COL).isin(days))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(F.col(PARTITION_COL))
+            .write.partitionBy(PARTITION_COL)
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

@@ -238,3 +238,44 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert matching(u, "dom", 10, 12) == len(u)
     # and the rewrite loses no rows
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_compaction_merges_small_files_per_partition(spark, sf_dir, tmp_path):
+    """A fragmented day-partitioned store (many tiny files per day) must
+    compact to ceil(rows/target) files per day with identical data, and
+    compacting a day subset must leave other partitions' files untouched
+    (dynamic partition overwrite)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.sources.registry import events_with_volume
+    from real_big_data_project_spark.sources.sinks import (
+        PARTITION_COL, compact_time_partitions)
+
+    store = str(tmp_path / "store")
+    ev = events_with_volume(spark, sf_dir).withColumn(
+        PARTITION_COL, F.col("ts").cast("date"))
+    # fragment: 12 writer tasks → up to 12 files per day partition
+    ev.repartition(12).write.partitionBy(PARTITION_COL).parquet(store)
+
+    def files_per_day():
+        return {
+            d.split("=", 1)[1]: len(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(store + f"/{PARTITION_COL}=*")
+        }
+
+    before = files_per_day()
+    assert max(before.values()) > 3  # genuinely fragmented
+    want = spark.read.parquet(store).orderBy("event_id").collect()
+
+    days = sorted(before)[:2]
+    compact_time_partitions(spark, store, 100_000, days=days)
+    mid = files_per_day()
+    assert all(mid[d] == 1 for d in days)                # compacted
+    assert all(mid[d] == before[d] for d in before if d not in days)
+
+    compact_time_partitions(spark, store, 100_000)
+    assert set(files_per_day().values()) == {1}
+    got = spark.read.parquet(store).orderBy("event_id").collect()
+    assert got == want
