@@ -459,3 +459,58 @@ def incremental_dedup(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("n_batch_dups"),
     )
+
+
+SPAN_TOKENS = 10
+
+
+def span_dedup(corpus: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Corpus-wide exact SPAN deduplication (the C4 recipe, Raffel et al.
+    2020 §2.2 — there three-sentence spans; here aligned `span_tokens`-
+    token windows, since the corpus has no sentence structure): every
+    occurrence of a repeated span except the globally FIRST one — ordered
+    by (doc_id, span_idx), a total order — is removed, and each document
+    is reassembled from its surviving spans. Boilerplate and quoted
+    passages disappear from every document but one, while the documents
+    themselves survive (contrast doc-level dedup, which can only keep or
+    drop whole docs).
+
+    Shape at 100 TB: explode to one row per span (narrow), ONE shuffle on
+    the span key for the first-occurrence window (span groups are tiny —
+    duplicate counts — so no skewed single task), one shuffle back on
+    doc_id to reassemble. Returns (doc_id, n_spans, n_kept, clean_text).
+    """
+    from pyspark.sql import Window
+
+    toks = corpus.select(
+        "doc_id", normalized_tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    nspan = F.ceil(F.size("toks") / span_tokens).cast("int")
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nspan - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("keep", F.row_number().over(w) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -88,6 +88,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_scan_jsonl",
     "q_scan_orc",
     "q_zorder_layout",
+    "q_span_dedup",
 )
 
 

@@ -2549,3 +2549,50 @@ def q_ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_true", F.col("recall").alias("recall_sq8"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    stoks AS (
+      SELECT doc_id, {SQL_TOKS} AS toks FROM corpus
+      WHERE len({SQL_TOKS}) > 0
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             array_to_string(
+               list_slice(toks, i * {DT.SPAN_TOKENS} + 1,
+                          (i + 1) * {DT.SPAN_TOKENS}), ' ') AS span
+      FROM stoks,
+           unnest(range(0, CAST(ceil(len(toks) / {DT.SPAN_TOKENS}.0) AS BIGINT)))
+             AS r(i)
+    ),
+    flagged AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+             array_to_string(list(span ORDER BY span_idx)
+                             FILTER (WHERE keep), ' '), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    description="Corpus-wide exact span dedup (the C4 three-sentence-span "
+                "recipe on aligned 10-token windows): every repeated span "
+                "keeps only its globally first occurrence — boilerplate "
+                "vanishes from all documents but one while the documents "
+                "survive, the finer-grained complement of doc-level "
+                "dedup. One shuffle on the span key (first-occurrence "
+                "window over tiny per-span groups), one on doc_id to "
+                "reassemble; datapipe/dedup_text.py::span_dedup.",
+    tags=("datapipe",),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.span_dedup(CP.with_near_duplicates(docs))

@@ -547,3 +547,37 @@ def test_quantize_sq8_contract(spark, sf_dir):
     assert -127 <= stats.lo and stats.hi <= 127
     zq = qz.filter(F.col("vec_id") == 10_000).collect()[0]
     assert set(zq.q) == {0} and zq.scale == 0.0
+
+
+def test_span_dedup_keeps_each_distinct_span_exactly_once(docs, corpus):
+    """Global contract: every distinct span survives exactly once across
+    the corpus (sum of kept = count of distinct spans — the tiny 31-token
+    vocabulary makes natural cross-doc span collisions common, so this is
+    the invariant, not 'originals keep everything'). Exact planted copies
+    keep nothing: every one of their spans occurs in a smaller doc_id."""
+    from real_big_data_project_spark.datapipe import dedup_text as DTm
+    from real_big_data_project_spark.functions.hashing import normalized_tokens
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    offset = max(ids) + 1
+    exact_copies = {i + offset for i in ids if i % 3 == 0}
+    out = {r.doc_id: r for r in DTm.span_dedup(corpus).collect()}
+    for cid in exact_copies:
+        assert out[cid].n_kept == 0 and out[cid].clean_text == ""
+    n_distinct = (
+        corpus.select(
+            "doc_id", F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(normalized_tokens("text")) / 10).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(normalized_tokens("text"), i * 10 + 1, 10), " "
+                    ),
+                )
+            ).alias("i", "span"),
+        )
+        .select("span").distinct().count()
+    )
+    assert sum(r.n_kept for r in out.values()) == n_distinct
