@@ -425,9 +425,22 @@ def knn_graph(
     return _topk_per_query(scored, k)
 
 
+SEMDEDUP_TARGET_CLUSTER = 64
+
+
+def auto_semdedup_k(n_vectors: int, target_cluster: int = SEMDEDUP_TARGET_CLUSTER,
+                    lo: int = 4, hi: int = 4096) -> int:
+    """Size k so expected cluster size stays ~target_cluster: the
+    within-cluster scoring is O(n²/k), so a FIXED k re-grows quadratically
+    with the corpus — the same failure mode auto_bucket_dims fixes for
+    the sign-LSH family. k ≈ n / target keeps per-vector comparison work
+    constant (SemDeDup runs k in the tens of thousands at web scale)."""
+    return min(hi, max(lo, -(-max(n_vectors, 1) // target_cluster)))
+
+
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 4,
+    k: int | str = 4,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -449,6 +462,9 @@ def semantic_dedup(
     from .clustering import kmeans_assign
 
     vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col)
+    if k == "auto":
+        # one count job — an offline dedup run knows its corpus size anyway
+        k = auto_semdedup_k(vecs.count())
     asg = kmeans_assign(vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v")
     lv = vecs.join(
         asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"

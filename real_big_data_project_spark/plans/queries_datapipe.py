@@ -2436,6 +2436,9 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_K = 16  # fixed for the oracle mirror; production uses k="auto"
+
+
 @register(
     "q_semantic_dedup",
     oracle=f"""
@@ -2444,7 +2447,7 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinit AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
              v AS c
-      FROM (SELECT vec_id, v FROM pvecs ORDER BY vec_id LIMIT {KMEANS_K})
+      FROM (SELECT vec_id, v FROM pvecs ORDER BY vec_id LIMIT {SEMDEDUP_K})
     ),
     {_sql_kmeans_assign('pvecs', 'sinit', 'sasg1')},
     scents AS (
@@ -2474,15 +2477,16 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "MinHash/SimHash families — catches paraphrases that "
                 "share no n-grams. k must scale with the corpus (within-"
                 "cluster scoring is quadratic in cluster size; "
-                "datapipe/similarity.py::semantic_dedup contract); the "
-                "catalog runs the oracle-mirrorable k=4. Planted "
+                "datapipe/similarity.py::semantic_dedup contract, "
+                "k='auto' sizes it as n/64); the catalog runs the "
+                "oracle-mirrorable fixed k=16. Planted "
                 "perturbed copies provide positives, as in "
                 "q_dedup_embedding.",
     tags=("datapipe",),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = R.load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, k=KMEANS_K, threshold=0.9)
+    return SIM.semantic_dedup(emb, k=SEMDEDUP_K, threshold=0.9)
 
 
 @register(

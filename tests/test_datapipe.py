@@ -581,3 +581,32 @@ def test_span_dedup_keeps_each_distinct_span_exactly_once(docs, corpus):
         .select("span").distinct().count()
     )
     assert sum(r.n_kept for r in out.values()) == n_distinct
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """k='auto' must grow the cluster count with the corpus so expected
+    cluster size (and within-cluster O(size²) scoring) stays bounded."""
+    from real_big_data_project_spark.datapipe.similarity import (
+        auto_semdedup_k, semantic_dedup)
+
+    assert auto_semdedup_k(500) == 8
+    assert auto_semdedup_k(50_000) == 782
+    assert auto_semdedup_k(10) == 4          # lo clamp
+    assert auto_semdedup_k(10**9) == 4096    # hi clamp
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.hash(F.col("id").cast("string"), F.lit(d)) % 1000)
+                .cast("double") / 500.0 - 1.0
+                for d in range(8)
+            ]).alias("embedding"),
+        )
+
+    labels = (
+        semantic_dedup(corpus(2000), k="auto")
+        .select("label").distinct().count()
+    )
+    # 2000 + 1000 planted copies → k = ceil(3000/64) = 47 clusters seeded
+    assert labels > 16
