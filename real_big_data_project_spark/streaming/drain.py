@@ -216,3 +216,49 @@ def drain_available_now(
         return spark.createDataFrame([], df.schema)
     # schema is known — skip the footer-sampling inference job
     return spark.read.schema(df.schema).parquet(out_dir)
+
+
+def idempotent_parquet_sink(path: str):
+    """Replay-safe exactly-once foreachBatch writer.
+
+    Structured Streaming's foreachBatch contract is AT-LEAST-once: after
+    a failure the restarted query re-invokes the function with the SAME
+    batchId it last attempted, so a naive append sink duplicates that
+    batch's rows. This writer makes the sink idempotent, which upgrades
+    the end-to-end guarantee to exactly-once (the documented
+    batchId-dedup pattern): each batch writes to its own
+    ``_sbatch=<id>`` subdirectory and commits by creating a marker file;
+    a replayed batchId whose marker exists is skipped entirely, and an
+    uncommitted partial write is overwritten by the replay.
+
+    The marker is created AFTER the parquet write completes, so the
+    visible state transitions are only ever absent → committed-complete.
+    Readers scan ``path`` recursively; subdirectory layout is an
+    implementation detail (use read_idempotent_sink).
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        sub = os.path.join(path, f"_sbatch={batch_id}")
+        marker = os.path.join(path, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already fully committed
+        df.write.mode("overwrite").parquet(sub)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+
+    return write
+
+
+def read_idempotent_sink(spark, path: str) -> DataFrame:
+    """Scan of every COMMITTED batch directory of an idempotent sink."""
+    committed = sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("_sbatch=")
+        and os.path.exists(
+            os.path.join(path, "_committed_" + d.split("=", 1)[1])
+        )
+    )
+    if not committed:
+        raise FileNotFoundError(f"no committed batches under {path!r}")
+    return spark.read.parquet(*committed)

@@ -221,3 +221,31 @@ def test_foreach_batch_upsert_keeps_latest_per_key(spark, tmp_path):
     drain()
     final = {r.user_id: r.last_value for r in spark.read.parquet(target).collect()}
     assert final == {7: 250.0, 8: 50.0}
+
+
+def test_idempotent_sink_survives_batch_replay(spark, tmp_path):
+    """Re-invoking foreachBatch with an already-committed batchId (the
+    at-least-once replay Structured Streaming documents) must not
+    duplicate rows; an uncommitted partial write is replaced."""
+    import os
+
+    from real_big_data_project_spark.streaming.drain import (
+        idempotent_parquet_sink, read_idempotent_sink)
+
+    sink_dir = str(tmp_path / "sink")
+    os.makedirs(sink_dir)
+    write = idempotent_parquet_sink(sink_dir)
+    b0 = spark.range(5).toDF("v")
+    b1 = spark.range(5, 8).toDF("v")
+
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # replay of a committed batch: no-op
+    got = sorted(r.v for r in read_idempotent_sink(spark, sink_dir).collect())
+    assert got == list(range(8))
+
+    # partial (uncommitted) write, then replay commits it exactly once
+    os.remove(os.path.join(sink_dir, "_committed_1"))
+    write(b1, 1)
+    got = sorted(r.v for r in read_idempotent_sink(spark, sink_dir).collect())
+    assert got == list(range(8))
