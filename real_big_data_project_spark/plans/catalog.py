@@ -89,6 +89,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_scan_orc",
     "q_zorder_layout",
     "q_span_dedup",
+    "q_linreg_train",
 )
 
 

@@ -2600,3 +2600,80 @@ def q_ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     return DT.span_dedup(CP.with_near_duplicates(docs))
+
+
+@register(
+    "q_linreg_train",
+    oracle=f"""
+    WITH f AS (
+      SELECT 1.0 AS x0, len(toks) / 100.0 AS x1,
+             len(list_distinct(toks)) / 100.0 AS x2,
+             n_chars / 1000.0 AS y
+      FROM (SELECT {SQL_TOKS} AS toks, n_chars FROM documents)
+    ),
+    ww0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    st1 AS (
+      SELECT round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x0), 6) AS g0, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x1), 6) AS g1, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x2), 6) AS g2,
+             round(avg((w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y)), 6) AS mse
+      FROM f, ww0 w
+    ),
+    ww1 AS (
+      SELECT round(w.w0 - 0.1 * s.g0, 6) AS w0,
+             round(w.w1 - 0.1 * s.g1, 6) AS w1,
+             round(w.w2 - 0.1 * s.g2, 6) AS w2
+      FROM ww0 w, st1 s
+    ),
+    st2 AS (
+      SELECT round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x0), 6) AS g0, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x1), 6) AS g1, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x2), 6) AS g2,
+             round(avg((w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y)), 6) AS mse
+      FROM f, ww1 w
+    ),
+    ww2 AS (
+      SELECT round(w.w0 - 0.1 * s.g0, 6) AS w0,
+             round(w.w1 - 0.1 * s.g1, 6) AS w1,
+             round(w.w2 - 0.1 * s.g2, 6) AS w2
+      FROM ww1 w, st2 s
+    ),
+    st3 AS (
+      SELECT round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x0), 6) AS g0, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x1), 6) AS g1, round(avg(2 * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * x2), 6) AS g2,
+             round(avg((w.w0*x0 + w.w1*x1 + w.w2*x2 - y) * (w.w0*x0 + w.w1*x1 + w.w2*x2 - y)), 6) AS mse
+      FROM f, ww2 w
+    ),
+    ww3 AS (
+      SELECT round(w.w0 - 0.1 * s.g0, 6) AS w0,
+             round(w.w1 - 0.1 * s.g1, 6) AS w1,
+             round(w.w2 - 0.1 * s.g2, 6) AS w2
+      FROM ww2 w, st3 s
+    )
+    SELECT 1 AS iteration, w.w0, w.w1, w.w2, s.mse FROM ww1 w, st1 s UNION ALL SELECT 2 AS iteration, w.w0, w.w1, w.w2, s.mse FROM ww2 w, st2 s UNION ALL SELECT 3 AS iteration, w.w0, w.w1, w.w2, s.mse FROM ww3 w, st3 s
+    ORDER BY iteration
+    """,
+    description="Distributed linear-model training, full-batch gradient "
+                "descent (datapipe/regression.py::linreg_gd) — the "
+                "broadcast-parameter iterative-optimization template "
+                "(quality regressors over corpus features): per "
+                "iteration the k-weight vector broadcasts, per-row "
+                "gradients are codegen arithmetic, ONE map-side-partial "
+                "hash aggregate reduces them, and the update runs on the "
+                "1-row joined result — the corpus never shuffles and "
+                "nothing collects. Squared loss only (no exp/log links "
+                "— libm last-ulp differences across engines); gradients/"
+                "weights rounded per iteration make the whole trace "
+                "bit-reproducible, oracle = 3 unrolled GD steps. Fits "
+                "n_chars/1000 from token and distinct-token counts; mse "
+                "falls monotonically across the trace.",
+    tags=("datapipe",),
+)
+def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.regression import linreg_gd
+    from ..functions.hashing import normalized_tokens
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    toks = normalized_tokens("text")
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        (F.size(toks) / 100.0).alias("x1"),
+        (F.size(F.array_distinct(toks)) / 100.0).alias("x2"),
+        (F.col("n_chars") / 1000.0).alias("y"),
+    )
+    return linreg_gd(feats, ["x0", "x1", "x2"], "y", lr=0.1, iters=3)

@@ -610,3 +610,20 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     )
     # 2000 + 1000 planted copies → k = ceil(3000/64) = 47 clusters seeded
     assert labels > 16
+
+
+def test_linreg_gd_converges_on_exact_linear_data(spark):
+    """On exactly-linear data GD must drive mse monotonically toward 0
+    and approach the true weights (datapipe/regression.py)."""
+    from real_big_data_project_spark.datapipe.regression import linreg_gd
+
+    df = spark.range(200).select(
+        F.lit(1.0).alias("x0"),
+        (F.col("id") % 17 / 10.0).alias("x1"),
+    ).withColumn("y", 0.5 * F.col("x0") + 0.3 * F.col("x1"))
+    trace = linreg_gd(df, ["x0", "x1"], "y", lr=0.3, iters=20).collect()
+    mses = [r.mse for r in trace]
+    assert all(a >= b for a, b in zip(mses, mses[1:]))
+    last = trace[-1]
+    assert abs(last.w0 - 0.5) < 0.05 and abs(last.w1 - 0.3) < 0.1
+    assert last.mse < 1e-3
