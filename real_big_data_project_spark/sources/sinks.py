@@ -202,3 +202,59 @@ def compact_time_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def delete_keys_from_store(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+) -> int:
+    """Targeted key deletion from a date-partitioned store — the
+    compliance-delete ("right to be forgotten") primitive: remove every
+    row of the given keys while rewriting ONLY the partitions that
+    contain them. Returns the number of partitions rewritten.
+
+    At 100 TB the difference between "rewrite the table" and "rewrite
+    the 3 partitions this user appears in" is the whole feature. Shape:
+
+      1. the key set broadcasts into a semi-join over the store to find
+         affected partition values (an aggregate over the partition
+         column — partition-pruned reads on stores whose layout already
+         clusters the key, full scan otherwise, but producing only a
+         calendar-sized day list);
+      2. those partitions are re-read (static partition pruning this
+         time), anti-joined against the keys, and rewritten in place via
+         dynamic partition overwrite — untouched partitions' files are
+         never opened, never rewritten.
+
+    Deletion is physical: rewritten files simply do not contain the
+    rows. Callers needing tombstone audit trails should log `keys`
+    separately (the tags KV surface fits).
+    """
+    df = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in df.join(F.broadcast(keys), on=key_col, how="left_semi")
+        .select(PARTITION_COL)
+        .distinct()
+        .collect()  # calendar-bounded, metadata-sized
+    ]
+    if not affected:
+        return 0
+    remain = (
+        df.filter(F.col(PARTITION_COL).isin(affected))
+        .join(F.broadcast(keys), on=key_col, how="left_anti")
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            remain.repartition(F.col(PARTITION_COL))
+            .write.partitionBy(PARTITION_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return len(affected)

@@ -279,3 +279,73 @@ def test_compaction_merges_small_files_per_partition(spark, sf_dir, tmp_path):
     assert set(files_per_day().values()) == {1}
     got = spark.read.parquet(store).orderBy("event_id").collect()
     assert got == want
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """Compliance delete: the target keys vanish, everything else is
+    row-identical, and partitions that never held the keys keep their
+    original files (mtime-stable — never rewritten)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.sources.registry import events_with_volume
+    from real_big_data_project_spark.sources.sinks import (
+        PARTITION_COL, delete_keys_from_store, write_time_partitioned)
+
+    store = str(tmp_path / "store")
+    ev = events_with_volume(spark, sf_dir)
+    write_time_partitioned(ev, store, ts="ts", key="user_id")
+
+    # one user active only in a few days → few affected partitions
+    target = ev.filter(F.col("user_id") == 3)
+    affected_days = {
+        str(r[0]) for r in
+        target.select(F.col("ts").cast("date")).distinct().collect()
+    }
+    before = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(store + "/*/*.parquet")
+    }
+    keys = spark.createDataFrame([(3,)], "user_id long")
+    n = delete_keys_from_store(spark, store, keys, "user_id")
+    assert n == len(affected_days)
+
+    got = spark.read.parquet(store)
+    assert got.filter(F.col("user_id") == 3).count() == 0
+    want = ev.filter(F.col("user_id") != 3).orderBy("event_id").drop("ts")
+    have = got.orderBy("event_id").drop("ts", PARTITION_COL)
+    assert [tuple(r) for r in have.select(*want.columns).collect()] == \
+           [tuple(r) for r in want.collect()]
+    # untouched partitions: original files still in place, byte-for-byte
+    for f, mt in before.items():
+        day = f.split(f"{PARTITION_COL}=")[1].split("/")[0]
+        if day not in affected_days and os.path.exists(f):
+            assert os.stat(f).st_mtime_ns == mt
+
+
+def test_schema_evolution_merges_batches(spark, sf_dir, tmp_path):
+    """Feeds gain columns over time; mergeSchema reads old + new batches
+    as one table with NULLs for pre-evolution rows, and the widened
+    column stays absent from scans that do not select it (pruned read)."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.sources.registry import load_table
+
+    store = str(tmp_path / "evolving")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.parquet(store + "/batch=1")
+    nation.select(
+        "n_nationkey", "n_name",
+        F.lit("v2").alias("feed_version"),
+    ).write.parquet(store + "/batch=2")
+
+    df = spark.read.option("mergeSchema", True).parquet(store)
+    assert set(df.columns) == {"n_nationkey", "n_name", "feed_version", "batch"}
+    n = nation.count()
+    assert df.count() == 2 * n
+    assert df.filter(F.col("feed_version").isNull()).count() == n
+    plan = (
+        df.select("n_nationkey")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "feed_version" not in plan.split("ReadSchema")[1][:120]
