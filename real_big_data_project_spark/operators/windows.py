@@ -185,3 +185,73 @@ def exact_ntile(
         )
         .drop("_grn", "_N", "_q", "_r", "_cut")
     )
+
+
+def gapfill_locf(
+    bars: DataFrame,
+    key: str,
+    day_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward — the
+    TimescaleDB `time_bucket_gapfill(...) + locf(...)` feature of the
+    reference's storage engine, and what its dashboard's client-side
+    pandas resample actually needs (dashboard/timescaledb_model.py:558):
+    every series gets one row per calendar day of ITS OWN [min, max]
+    span; missing days are synthesized (`is_gap`) and carry the last
+    observed values forward.
+
+    Shape: the span aggregate is per-key (tiny), the calendar explode is
+    bounded by the calendar not the tick count, and the forward fill is
+    one per-key ordered window — a single shuffle on the series key.
+    """
+    span = bars.groupBy(key).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    cal = span.select(key, F.explode(F.sequence("_d0", "_d1")).alias(day_col))
+    j = cal.join(bars, on=[key, day_col], how="left")
+    w = Window.partitionBy(key).orderBy(day_col)
+    return j.select(
+        key,
+        day_col,
+        F.col(value_cols[0]).isNull().alias("is_gap"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    alpha: float = 0.1,
+    window: int = 10,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per series:
+    fold acc → acc·(1−α) + x·α over the last `window` ordered values,
+    seeded with the window's first value. Truncation caps per-row work at
+    O(window) — the exact running EWMA needs the full prefix, which is
+    quadratic state in a collected-window formulation and
+    order-dependent in any distributed reformulation; at (1−α)^window
+    the discarded weight is documented and bounded (0.9¹⁰ ≈ 0.35 here —
+    widen the window to tighten it).
+
+    Pure fold arithmetic (no pow/exp — libm last-ulp hazards), identical
+    left-to-right sequence in both engines → bit-exact against the
+    DuckDB list_reduce oracle with no rounding.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    lst = F.collect_list(value).over(w)
+    folded = F.aggregate(
+        F.slice(lst, 2, window),
+        F.element_at(lst, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return df.select(key, order_col, value).withColumn("ewma", folded)

@@ -90,6 +90,8 @@ _RISKIEST: tuple[str, ...] = (
     "q_zorder_layout",
     "q_span_dedup",
     "q_linreg_train",
+    "q_gapfill_locf",
+    "q_ewma_daily",
 )
 
 

@@ -2709,3 +2709,79 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.dayofmonth("ts").alias("dom")
     )
     return with_zvalue(ev, ["user_id", "dom"]).select("event_id", "z")
+
+
+@register(
+    "q_gapfill_locf",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, cast(ts AS DATE) AS day,
+             last(value ORDER BY ts, event_id) AS close
+      FROM events GROUP BY user_id, cast(ts AS DATE)
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM bars GROUP BY user_id),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT c.user_id, c.day, b.close
+      FROM cal c LEFT JOIN bars b ON b.user_id = c.user_id AND b.day = c.day
+    )
+    SELECT user_id, day, (close IS NULL) AS is_gap,
+           last_value(close IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day) AS close
+    FROM j
+    """,
+    description="Calendar gap-fill + LOCF (operators/windows.py::"
+                "gapfill_locf) — the reference storage engine's "
+                "time_bucket_gapfill + locf hypertable feature: each "
+                "series gets one row per day of its own span, missing "
+                "days are synthesized (is_gap) and carry the last close "
+                "forward. Span agg is per-key, the calendar explode is "
+                "calendar-bounded, the fill is one per-key window — a "
+                "single series-key shuffle.",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+    return W.gapfill_locf(bars, "user_id", "day", ["close"])
+
+
+@register(
+    "q_ewma_daily",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, cast(ts AS DATE) AS day,
+             last(value ORDER BY ts, event_id) AS close
+      FROM events GROUP BY user_id, cast(ts AS DATE)
+    ),
+    wl AS (
+      SELECT user_id, day, close,
+             list(close) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+      FROM bars
+    )
+    SELECT user_id, day, close,
+           list_reduce(l, (a, b) -> a * CAST(0.9 AS DOUBLE)
+                                  + b * CAST(0.1 AS DOUBLE)) AS ewma
+    FROM wl
+    """,
+    description="Truncated per-series EWMA (operators/windows.py::ewma): "
+                "fold acc*(1-a) + x*a over the last 10 daily closes — "
+                "O(window) per row where the exact running EWMA is "
+                "quadratic in a distributed formulation; pure fold "
+                "arithmetic (no pow), identical left-to-right sequence "
+                "in both engines, bit-exact with NO rounding. The "
+                "smoothing complement of q_rolling_bollinger's "
+                "equal-weight window.",
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+    return W.ewma(bars, "user_id", "day", "close", alpha=0.1, window=10)

@@ -153,3 +153,29 @@ def test_heavy_hitters_exact_and_partitioning_invariant(spark):
         assert got == want, f"nparts={nparts}"
     # threshold=1 degenerates to plain distinct counts
     assert heavy_hitters(df, "k", 1).count() == 5011
+
+
+def test_gapfill_and_ewma_semantics(spark):
+    from real_big_data_project_spark.operators.windows import ewma, gapfill_locf
+
+    bars = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-04", 40.0),
+         (2, "2024-02-01", 5.0)],
+        "k long, day string, close double",
+    ).select("k", F.col("day").cast("date").alias("day"), "close")
+
+    out = {(r.k, str(r.day)): (r.is_gap, r.close)
+           for r in gapfill_locf(bars, "k", "day", ["close"]).collect()}
+    # series 1 spans 4 days: the two middle days are synthesized + filled
+    assert out[(1, "2024-01-02")] == (True, 10.0)
+    assert out[(1, "2024-01-03")] == (True, 10.0)
+    assert out[(1, "2024-01-04")] == (False, 40.0)
+    # series 2's span is itself: no gaps, other series' calendar not leaked
+    assert out[(2, "2024-02-01")] == (False, 5.0)
+    assert len(out) == 5
+
+    ew = {str(r.day): r.ewma
+          for r in ewma(bars.filter("k = 1"), "k", "day", "close",
+                        alpha=0.5, window=10).collect()}
+    assert ew["2024-01-01"] == 10.0          # seed = first value
+    assert ew["2024-01-04"] == 25.0          # 10*0.5 + 40*0.5
