@@ -298,3 +298,20 @@ def test_incremental_ohlcv_prunes_partitions(qmap, spark, sf_dir):
 def test_orc_scan_pushes_the_filter(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_scan_orc")
     assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(qmap, spark, sf_dir):
+    """Pass 2 must be a broadcast semi join (candidates are small by the
+    local-threshold guarantee) feeding one hash aggregate — the long
+    tail is filtered map-side, never shuffled."""
+    plan = plan_of(qmap, spark, sf_dir, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "MapInPandas" in plan  # the shuffle-free local-count pass
+
+
+def test_merge_upsert_single_resolve_aggregate(qmap, spark, sf_dir):
+    """The change-log resolve is ONE max_by hash aggregate (no window),
+    and the apply is a single full-outer join."""
+    plan = plan_of(qmap, spark, sf_dir, "q_merge_upsert")
+    assert "FullOuter" in plan
+    assert "Window" not in plan
