@@ -110,6 +110,34 @@ def cmd_bars(spark: SparkSession, args: argparse.Namespace) -> dict:
             "rows": [[str(v) for v in r] for r in rows[: args.limit]]}
 
 
+def cmd_compact(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Table maintenance: merge a date-partitioned store's small files
+    (sources/sinks.py::compact_time_partitions)."""
+    import glob as _glob
+
+    from .sources.sinks import PARTITION_COL, compact_time_partitions
+
+    days = args.days.split(",") if args.days else None
+    n_before = len(_glob.glob(f"{args.path}/{PARTITION_COL}=*/*.parquet"))
+    compact_time_partitions(spark, args.path, args.target_rows, days=days)
+    n_after = len(_glob.glob(f"{args.path}/{PARTITION_COL}=*/*.parquet"))
+    return {"cmd": "compact", "path": args.path,
+            "files_before": n_before, "files_after": n_after}
+
+
+def cmd_delete_keys(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Compliance delete: remove every row of the given keys, rewriting
+    only the partitions that contain them (sources/sinks.py)."""
+    from .sources.sinks import delete_keys_from_store
+
+    keys = spark.createDataFrame(
+        [(int(k),) for k in args.keys.split(",")], f"{args.key_col} long"
+    )
+    n = delete_keys_from_store(spark, args.path, keys, args.key_col)
+    return {"cmd": "delete-keys", "path": args.path,
+            "key_col": args.key_col, "partitions_rewritten": n}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -133,6 +161,20 @@ def build_parser() -> argparse.ArgumentParser:
     br.add_argument("--end")
     br.add_argument("--bollinger", type=int, default=0)
     br.add_argument("--limit", type=int, default=100)
+
+    cp = sub.add_parser("compact", help="merge small files per day partition")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--target-rows", type=int, default=5_000_000,
+                    dest="target_rows")
+    cp.add_argument("--days", help="comma-separated day subset (default all)")
+
+    dk = sub.add_parser("delete-keys",
+                        help="compliance delete: purge keys, rewrite only "
+                             "affected partitions")
+    dk.add_argument("--path", required=True)
+    dk.add_argument("--key-col", required=True, dest="key_col")
+    dk.add_argument("--keys", required=True,
+                    help="comma-separated key values")
     return ap
 
 
@@ -141,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     spark = get_spark("rbds-cli")
-    fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars}[args.cmd]
+    fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
+          "compact": cmd_compact, "delete-keys": cmd_delete_keys}[args.cmd]
     print(json.dumps(fn(spark, args)))
     return 0
 

@@ -82,3 +82,27 @@ def test_cli_bars_with_bollinger(spark, ingested):
     res = cmd_bars(spark, args)
     assert res["n_rows"] == 1               # SOLV traded one day
     assert "boll_mean" in res["columns"]
+
+
+def test_cli_compact_and_delete_keys(spark, sf_dir, tmp_path, capsys):
+    """The maintenance surface end-to-end through the CLI entry point."""
+    import json
+
+    from real_big_data_project_spark.__main__ import main
+    from real_big_data_project_spark.sources.registry import events_with_volume
+    from real_big_data_project_spark.sources.sinks import write_time_partitioned
+
+    store = str(tmp_path / "store")
+    write_time_partitioned(
+        events_with_volume(spark, sf_dir).repartition(6),
+        store, ts="ts", key="user_id",
+    )
+    assert main(["compact", "--path", store, "--target-rows", "100000"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] <= out["files_before"]
+
+    assert main(["delete-keys", "--path", store,
+                 "--key-col", "user_id", "--keys", "3,5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions_rewritten"] > 0
+    assert spark.read.parquet(store).filter("user_id in (3,5)").count() == 0
