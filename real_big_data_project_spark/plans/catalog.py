@@ -92,6 +92,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_linreg_train",
     "q_gapfill_locf",
     "q_ewma_daily",
+    "q_dq_expectations",
 )
 
 

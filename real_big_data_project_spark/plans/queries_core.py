@@ -2785,3 +2785,55 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
     return W.ewma(bars, "user_id", "day", "close", alpha=0.1, window=10)
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN coalesce(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS v_positive_qty,
+             sum(CASE WHEN coalesce(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS v_nonneg_price,
+             sum(CASE WHEN coalesce(l_shipdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS v_shipdate_present,
+             sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.5, FALSE) THEN 0 ELSE 1 END) AS v_discount_range,
+             sum(CASE WHEN coalesce(l_shipdate >= o_orderdate, FALSE) THEN 0 ELSE 1 END) AS v_ship_after_order
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'positive_qty' AS rule, n AS n_rows,
+           CAST(v_positive_qty AS BIGINT) AS n_violations,
+           round(v_positive_qty / n, 6) AS violation_rate FROM w
+    UNION ALL SELECT 'nonneg_price', n, CAST(v_nonneg_price AS BIGINT),
+           round(v_nonneg_price / n, 6) FROM w
+    UNION ALL SELECT 'shipdate_present', n, CAST(v_shipdate_present AS BIGINT),
+           round(v_shipdate_present / n, 6) FROM w
+    UNION ALL SELECT 'discount_range', n, CAST(v_discount_range AS BIGINT),
+           round(v_discount_range / n, 6) FROM w
+    UNION ALL SELECT 'ship_after_order', n, CAST(v_ship_after_order AS BIGINT),
+           round(v_ship_after_order / n, 6) FROM w
+    """,
+    description="Declarative data-quality audit (functions/quality.py): "
+                "the reference's blind DELETE cleanups "
+                "(etl/etl.py:817-823) as counted, auditable "
+                "expectations — five rules (positivity, ranges, "
+                "presence, cross-table ship-after-order) evaluated in "
+                "ONE aggregate pass over the fact join (sum-of-case per "
+                "rule, map-side partials): a 50-rule audit is still one "
+                "scan at 100 TB. NULL predicate = violation; "
+                "require_clean gates pipelines on the same report.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import expectations_report
+
+    li = R.load_table(spark, sf_dir, "lineitem")
+    orders = R.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+    rules = [
+        ("positive_qty", F.col("l_quantity") > 0),
+        ("nonneg_price", F.col("l_extendedprice") >= 0),
+        ("shipdate_present", F.col("l_shipdate").isNotNull()),
+        ("discount_range", F.col("l_discount").between(0, 0.5)),
+        ("ship_after_order", F.col("l_shipdate") >= F.col("o_orderdate")),
+    ]
+    return expectations_report(j, rules)

@@ -179,3 +179,25 @@ def test_gapfill_and_ewma_semantics(spark):
                         alpha=0.5, window=10).collect()}
     assert ew["2024-01-01"] == 10.0          # seed = first value
     assert ew["2024-01-04"] == 25.0          # 10*0.5 + 40*0.5
+
+
+def test_require_clean_raises_with_rule_names(spark):
+    import pytest
+
+    from real_big_data_project_spark.functions.quality import (
+        expectations_report, require_clean)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double")
+    rules = [
+        ("positive_v", F.col("v") > 0),     # 2 violations (−5 and NULL)
+        ("id_present", F.col("id").isNotNull()),
+    ]
+    rep = {r.rule: r.n_violations for r in
+           expectations_report(df, rules).collect()}
+    assert rep == {"positive_v": 2, "id_present": 0}
+    require_clean(df, [("id_present", F.col("id").isNotNull())])
+    with pytest.raises(ValueError, match="positive_v"):
+        require_clean(df, rules)
+    # tolerance: 2/3 violations pass at a generous max_rate
+    require_clean(df, rules, max_rate=0.7)
