@@ -32,13 +32,17 @@ def resolve_change_log(
     seq_col: str = "seq",
 ) -> DataFrame:
     """Last-write-wins per key over an append-only change log: the single
-    max_by aggregate keeps the row with the highest (seq, op) — the same
-    resolve shape as sources/tags.py. (seq, op) must totally order each
-    key's changes; duplicate seqs fall back to the op tiebreak."""
+    max_by aggregate keeps the row with the highest (seq, op, …payload) —
+    the same resolve shape as sources/tags.py. The FULL payload joins the
+    ordering as the final tiebreak so even pathological logs carrying the
+    same (seq, op) twice with different values resolve deterministically
+    (hypothesis-found: a bare (seq, op) key lets max_by pick either)."""
     payload = [c for c in changes.columns if c != key]
+    rest = [c for c in payload if c not in (seq_col, op_col)]
+    order = F.struct(seq_col, op_col, *rest)
     return (
         changes.groupBy(key)
-        .agg(F.max_by(F.struct(*payload), F.struct(seq_col, op_col)).alias("_w"))
+        .agg(F.max_by(F.struct(*payload), order).alias("_w"))
         .select(key, "_w.*")
     )
 

@@ -211,3 +211,63 @@ def test_connected_components_matches_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.floats(0, 100, width=16)),
+             min_size=0, max_size=20),
+    st.lists(st.tuples(st.integers(0, 10), st.sampled_from(["U", "D", "I"]),
+                       st.integers(1, 5), st.floats(0, 100, width=16)),
+             min_size=0, max_size=25),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_reference(spark, snap_rows, log_rows):
+    """merge_upsert == a plain Python dict apply for arbitrary snapshots
+    and change logs (duplicate seqs resolved by the (seq, op) order)."""
+    from real_big_data_project_spark.operators.merge import (
+        merge_upsert, resolve_change_log)
+
+    snap_rows = list({k: (k, v) for k, v in snap_rows}.values())  # unique keys
+    snap = spark.createDataFrame(snap_rows or [(99, 0.0)], "k long, v double")
+    log = spark.createDataFrame(
+        log_rows or [(99, "D", 1, 0.0)], "k long, op string, seq int, v double"
+    )
+    got = {r.k: r.v for r in
+           merge_upsert(snap, resolve_change_log(log, "k"), "k").collect()}
+
+    state = dict(snap_rows or [(99, 0.0)])
+    winners: dict[int, tuple] = {}
+    for k, op, seq, v in (log_rows or [(99, "D", 1, 0.0)]):
+        cur = winners.get(k)
+        if cur is None or (seq, op, v) > cur:
+            winners[k] = (seq, op, v)
+    for k, (seq, op, v) in winners.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@given(st.lists(st.floats(-50, 50, width=16), min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_matches_pandas_ewm(spark, values):
+    """For series no longer than the window, the truncated EWMA equals
+    pandas ewm(alpha, adjust=False) exactly (same recurrence, same
+    seed)."""
+    import pandas as pd
+    import pytest
+
+    from real_big_data_project_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(values)],
+        "k long, i long, v double",
+    )
+    got = {r.i: r.ewma
+           for r in ewma(df, "k", "i", "v", alpha=0.1, window=12).collect()}
+    want = pd.Series(values).ewm(alpha=0.1, adjust=False).mean()
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, rel=1e-12)
