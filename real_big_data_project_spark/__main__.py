@@ -130,9 +130,12 @@ def cmd_delete_keys(spark: SparkSession, args: argparse.Namespace) -> dict:
     only the partitions that contain them (sources/sinks.py)."""
     from .sources.sinks import delete_keys_from_store
 
+    # keys arrive as strings; cast to the store's actual key type so
+    # string/int/long key columns all work from the CLI
+    store_type = dict(spark.read.parquet(args.path).dtypes)[args.key_col]
     keys = spark.createDataFrame(
-        [(int(k),) for k in args.keys.split(",")], f"{args.key_col} long"
-    )
+        [(k,) for k in args.keys.split(",")], f"{args.key_col} string"
+    ).select(F.col(args.key_col).cast(store_type))
     n = delete_keys_from_store(spark, args.path, keys, args.key_col)
     return {"cmd": "delete-keys", "path": args.path,
             "key_col": args.key_col, "partitions_rewritten": n}

@@ -49,7 +49,10 @@ def linreg_gd(
         *[f.cast("double").alias(f"x{j}") for j, f in enumerate(feats)],
         y.cast("double").alias("y"),
     )
-    w = base.limit(1).select(
+    # seed from range(1), not limit(1)-of-the-corpus: the all-literal
+    # zero row should not depend on a corpus scan, and an empty input
+    # then yields a trace of NULL gradients instead of silently no rows
+    w = df.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(k)]
     )
     rows = []

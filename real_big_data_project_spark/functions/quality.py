@@ -25,7 +25,19 @@ def expectations_report(
 ) -> DataFrame:
     """(rule, n_rows, n_violations, violation_rate) — one row per rule,
     computed in a single aggregate pass. A NULL predicate result counts
-    as a violation (unknown is not clean)."""
+    as a violation (unknown is not clean); an EMPTY table is vacuously
+    clean (rate 0). Rule names must be identifier-shaped — they become
+    generated-SQL literals and column names."""
+    import re
+
+    if not expectations:
+        raise ValueError("expectations must be a non-empty list")
+    for name, _ in expectations:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} is not identifier-shaped "
+                "([A-Za-z_][A-Za-z0-9_]*)"
+            )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in expectations:
         aggs.append(
@@ -43,8 +55,11 @@ def expectations_report(
     ).select(
         "rule",
         "n_rows",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long")
+        .alias("n_violations"),
+        F.coalesce(
+            F.round(F.col("n_violations") / F.col("n_rows"), 6), F.lit(0.0)
+        ).alias("violation_rate"),
     )
 
 

@@ -53,15 +53,24 @@ def heavy_hitters(df: DataFrame, key: str, threshold: int) -> DataFrame:
 
         cnt: Counter = Counter()
         for pdf in batches:
-            for k, v in pdf[key].value_counts().items():
-                cnt[k] += int(v)
+            # dropna=False: a frequent NULL key is a heavy hitter too —
+            # GROUP BY keeps the NULL group, so must the candidate pass.
+            for k, v in pdf[key].value_counts(dropna=False).items():
+                cnt[None if pd.isna(k) else k] += int(v)
         yield pd.DataFrame(
-            {key: [k for k, v in cnt.items() if v >= local_t]}
+            {key: pd.array(
+                [k for k, v in cnt.items() if v >= local_t], dtype=object
+            )}
         )
 
     candidates = keyed.mapInPandas(local_counts, out_schema).distinct()
+    # eqNullSafe: a plain semi-join key can never match the NULL group
     return (
-        df.join(F.broadcast(candidates), on=key, how="left_semi")
+        df.join(
+            F.broadcast(candidates.withColumnRenamed(key, "_hh_cand")),
+            on=F.col(key).eqNullSafe(F.col("_hh_cand")),
+            how="left_semi",
+        )
         .groupBy(key)
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= threshold)

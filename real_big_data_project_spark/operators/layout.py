@@ -81,3 +81,62 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def interleave_bits(normed: list[Column], bits: int = 12) -> Column:
+    """n-dimensional Morton interleave: bit b of dimension i lands at
+    position b·n_dims + i. Every bit is cast to LONG before shifting —
+    int-typed shifts wrap at 32 positions (3 dims × 12 bits needs shift
+    35), which silently corrupts the key. Generalizes zorder_key_2d."""
+    d = len(normed)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(normed):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return z
+
+
+def with_zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    out_col: str = "z",
+) -> DataFrame:
+    """Append the n-dim z-value of `cols` (numeric columns): each column
+    min/max-scaled into the shared [0, 2^bits) budget (_minmax_scaled —
+    the degeneracy guard), then Morton-interleaved. The bounds aggregate
+    is 1 row, broadcast back; the key is pure codegen bit arithmetic."""
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"_zlo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"_zhi_{c}") for c in cols],
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    normed = [
+        _minmax_scaled(
+            F.col(c), F.col(f"_zlo_{c}"), F.col(f"_zhi_{c}"), bits
+        )
+        for c in cols
+    ]
+    return j.withColumn(out_col, interleave_bits(normed, bits)).drop(
+        *[f"_zlo_{c}" for c in cols], *[f"_zhi_{c}" for c in cols]
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 12,
+) -> None:
+    """n-dim companion of write_zordered: range repartition on the
+    normalized Morton key, sort within partitions, drop the key."""
+    (
+        with_zvalue(df, cols, bits)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -209,12 +209,17 @@ def gapfill_locf(
         F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
     )
     cal = span.select(key, F.explode(F.sequence("_d0", "_d1")).alias(day_col))
-    j = cal.join(bars, on=[key, day_col], how="left")
+    # presence marker, NOT value-NULL: a stored row whose value happens to
+    # be NULL is a real observation, not a synthesized calendar gap
+    # (review-found mislabel; LOCF still carries over its NULL).
+    j = cal.join(
+        bars.withColumn("_present", F.lit(True)), on=[key, day_col], how="left"
+    )
     w = Window.partitionBy(key).orderBy(day_col)
     return j.select(
         key,
         day_col,
-        F.col(value_cols[0]).isNull().alias("is_gap"),
+        F.col("_present").isNull().alias("is_gap"),
         *[
             F.last(c, ignorenulls=True).over(w).alias(c)
             for c in value_cols
@@ -248,7 +253,10 @@ def ewma(
         .orderBy(order_col)
         .rowsBetween(-(window - 1), 0)
     )
-    lst = F.collect_list(value).over(w)
+    # double accumulator regardless of the input's numeric type — an
+    # integer value column would otherwise make F.aggregate reject the
+    # double-typed merge lambda at plan time
+    lst = F.collect_list(F.col(value).cast("double")).over(w)
     folded = F.aggregate(
         F.slice(lst, 2, window),
         F.element_at(lst, 1),

@@ -2691,7 +2691,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
              (((nu >> 11) & 1) << 22) | (((nd >> 11) & 1) << 23) AS BIGINT) AS z
     FROM n
 """,
-    description="Z-order clustering key (sources/layout.py): user_id and "
+    description="Z-order clustering key (operators/layout.py): user_id and "
                 "day-of-month min/max-NORMALIZED into a shared 12-bit "
                 "budget, then Morton-interleaved into one sort key — "
                 "pure codegen bit arithmetic, no UDF. Normalization is "
@@ -2703,7 +2703,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(tests/test_sinks.py pins the pruning ratios).",
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.layout import with_zvalue
+    from ..operators.layout import with_zvalue
 
     ev = R.load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.dayofmonth("ts").alias("dom")
@@ -2726,10 +2726,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM span
     ),
     j AS (
-      SELECT c.user_id, c.day, b.close
+      SELECT c.user_id, c.day, b.close, (b.user_id IS NULL) AS miss
       FROM cal c LEFT JOIN bars b ON b.user_id = c.user_id AND b.day = c.day
     )
-    SELECT user_id, day, (close IS NULL) AS is_gap,
+    SELECT user_id, day, miss AS is_gap,
            last_value(close IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY day) AS close
     FROM j

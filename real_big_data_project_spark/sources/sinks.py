@@ -17,6 +17,8 @@ hypertables chunked on the date column (etl/timescaledb_model.py:29-57,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -246,6 +248,16 @@ def delete_keys_from_store(
         df.filter(F.col(PARTITION_COL).isin(affected))
         .join(F.broadcast(keys), on=key_col, how="left_anti")
     )
+    # Dynamic overwrite only replaces partitions PRESENT IN THE OUTPUT: a
+    # partition whose every row matched the keys produces no output rows
+    # and its old files would silently survive — the one failure mode a
+    # compliance delete must not have. Find those now-empty partitions
+    # (day-list-sized) and remove their directories after the rewrite; a
+    # table format (Delta/Iceberg) does this through its commit log.
+    surviving = {
+        r[0] for r in remain.select(PARTITION_COL).distinct().collect()
+    }
+    emptied = [d for d in affected if d not in surviving]
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -257,4 +269,10 @@ def delete_keys_from_store(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    import shutil
+
+    for d in emptied:
+        pdir = os.path.join(path, f"{PARTITION_COL}={d}")
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
     return len(affected)

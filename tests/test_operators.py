@@ -201,3 +201,44 @@ def test_require_clean_raises_with_rule_names(spark):
         require_clean(df, rules)
     # tolerance: 2/3 violations pass at a generous max_rate
     require_clean(df, rules, max_rate=0.7)
+
+
+def test_heavy_hitters_counts_null_keys(spark):
+    """GROUP BY keeps the NULL group; so must heavy_hitters (review-found:
+    value_counts dropped NULLs and the semi join could not match them)."""
+    from real_big_data_project_spark.operators.heavy_hitters import heavy_hitters
+
+    rows = [(None,)] * 80 + [("a",)] * 60 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {(r.k, r.n) for r in heavy_hitters(df.repartition(5), "k", 50).collect()}
+    assert got == {(None, 80), ("a", 60)}
+
+
+def test_gapfill_preserves_real_null_observations(spark):
+    """A stored row with a NULL value is a real observation: is_gap must
+    be false even though LOCF fills its value (review finding)."""
+    from real_big_data_project_spark.operators.windows import gapfill_locf
+
+    bars = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", None)],
+        "k long, day string, close double",
+    ).select("k", F.col("day").cast("date").alias("day"), "close")
+    out = {str(r.day): (r.is_gap, r.close)
+           for r in gapfill_locf(bars, "k", "day", ["close"]).collect()}
+    assert out["2024-01-02"] == (False, 10.0)
+
+
+def test_expectations_guard_rails(spark):
+    import pytest
+
+    from real_big_data_project_spark.functions.quality import (
+        expectations_report, require_clean)
+
+    empty = spark.createDataFrame([], "v double")
+    rep = expectations_report(empty, [("pos", F.col("v") > 0)]).collect()
+    assert rep[0].n_violations == 0 and rep[0].violation_rate == 0.0
+    require_clean(empty, [("pos", F.col("v") > 0)])  # vacuously clean
+    with pytest.raises(ValueError, match="identifier-shaped"):
+        expectations_report(empty, [("bad-name", F.col("v") > 0)])
+    with pytest.raises(ValueError, match="non-empty"):
+        expectations_report(empty, [])

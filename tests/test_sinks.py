@@ -186,14 +186,14 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """Z-clustered files must carry tight min/max ranges on BOTH z-columns
     (≤ ~60% of files match a narrow predicate on either one), where a
     single-column sort prunes nothing on its off-dimension
-    (sources/layout.py — including the normalization that prevents the
+    (operators/layout.py — including the normalization that prevents the
     degenerate single-column collapse)."""
     import glob
 
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    from real_big_data_project_spark.sources.layout import zorder_write
+    from real_big_data_project_spark.operators.layout import zorder_write
     from real_big_data_project_spark.sources.registry import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -349,3 +349,31 @@ def test_schema_evolution_merges_batches(spark, sf_dir, tmp_path):
         df.select("n_nationkey")._jdf.queryExecution().executedPlan().toString()
     )
     assert "feed_version" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_delete_keys_removes_fully_emptied_partitions(spark, tmp_path):
+    """A partition whose EVERY row matches the keys must physically
+    disappear — dynamic overwrite alone would leave its old files in
+    place (review-found retention bug)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.sources.sinks import (
+        PARTITION_COL, delete_keys_from_store, write_time_partitioned)
+
+    store = str(tmp_path / "store")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01", 7), (2, "2024-01-01", 7),   # day 1: only key 7
+         (3, "2024-01-02", 7), (4, "2024-01-02", 8)],  # day 2: mixed
+        "event_id long, ts string, user_id long",
+    ).select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id")
+    write_time_partitioned(rows, store, ts="ts", key="user_id")
+
+    n = delete_keys_from_store(
+        spark, store, spark.createDataFrame([(7,)], "user_id long"), "user_id"
+    )
+    assert n == 2
+    assert not os.path.isdir(os.path.join(store, f"{PARTITION_COL}=2024-01-01"))
+    got = spark.read.parquet(store).collect()
+    assert [(r.event_id, r.user_id) for r in got] == [(4, 8)]
