@@ -166,3 +166,33 @@ def pack_sequences(
         .cast("long").alias("bin_id"),
         (F.col("offset_tokens") % budget).cast("long").alias("offset_in_bin"),
     )
+
+
+def token_budget_select(
+    stats: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Budgeted corpus selection: keep the highest-``quality_col`` docs
+    until ``budget`` tokens are filled — the 'pick the best N-token
+    training mix' pass that follows scoring in a curation pipeline
+    (where pack_sequences then lays the keepers out).
+
+    Greedy prefix policy: docs are ranked by (quality DESC, id) — a
+    total ordering — and a doc is kept iff the tokens BEFORE it are
+    under budget, so the straddling doc is included and the output is
+    never empty for budget > 0. The cumulative sum is exact and
+    distributed (operators/windows.py::global_running_sum — range-
+    repartition + broadcast prefix bases, no single-task window).
+    """
+    from ..operators.windows import global_running_sum
+
+    cum = global_running_sum(
+        stats,
+        order=[F.col(quality_col).desc(), F.col(id_col)],
+        val_col=tokens_col,
+        out_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") - F.col(tokens_col) < budget)

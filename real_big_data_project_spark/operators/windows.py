@@ -147,6 +147,59 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order: list,
+    val_col: str,
+    out_col: str = "running_sum",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact INCLUSIVE global running sum of ``val_col`` over a TOTAL
+    ordering without funneling the data through one task — the
+    value-weighted sibling of ``global_row_number`` (same
+    range-repartition + broadcast-prefix infra, same localCheckpoint
+    against the cutpoint-resample hazard, same total-ordering
+    contract).
+
+      1. ``repartitionByRange`` on the ordering key pins contiguous
+         global key ranges; ``spark_partition_id`` stamps them map-side;
+      2. per-range inclusive window sums run in PARALLEL (the window
+         partitions on the range id, never SinglePartition);
+      3. the ≤ ``num_ranges`` per-range totals take an exclusive prefix
+         sum on the aggregate-sized frame and broadcast back as bases.
+
+    Used for budgeted corpus selection (take best docs until a token
+    budget) and anywhere a cumulative quota over a global ranking is
+    cut — the orderable-quota primitive sequence packing applies in
+    id order (datapipe/corpus.py::pack_sequences).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parted = (
+        df.repartitionByRange(num_ranges, *cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = (
+        Window.partitionBy("_gpid").orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base_w = (
+        Window.orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        parted.groupBy("_gpid").agg(F.sum(val_col).alias("_t"))
+        .withColumn("_base", F.coalesce(F.sum("_t").over(base_w), F.lit(0)))
+        .select("_gpid", "_base")
+    )
+    return (
+        parted.withColumn("_lsum", F.sum(val_col).over(local_w))
+        .join(F.broadcast(bases), "_gpid")
+        .withColumn(out_col, F.col("_base") + F.col("_lsum"))
+        .drop("_gpid", "_lsum", "_base")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order: list,

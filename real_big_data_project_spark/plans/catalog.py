@@ -93,6 +93,21 @@ _RISKIEST: tuple[str, ...] = (
     "q_gapfill_locf",
     "q_ewma_daily",
     "q_dq_expectations",
+    # round-4 continuation — the decision-support subquery family and
+    # the newest datapipe trainers/selectors go under the gate next
+    "q_supplier_wait_fault",
+    "q_min_price_supplier",
+    "q_small_qty_revenue",
+    "q_market_share",
+    "q_idle_rich_customers",
+    "q_order_count_distribution",
+    "q_supplier_excl_count",
+    "q_top_revenue_supplier",
+    "q_qualified_suppliers",
+    "q_promo_revenue",
+    "q_profit_by_nation_year",
+    "q_svm_train",
+    "q_token_budget_select",
 )
 
 
@@ -131,4 +146,5 @@ def _load_all() -> None:
         from . import queries_core  # noqa: F401
         from . import queries_datapipe  # noqa: F401
         from . import queries_streaming  # noqa: F401
+        from . import queries_subquery  # noqa: F401
         _loaded = True

@@ -2677,3 +2677,116 @@ def q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 1000.0).alias("y"),
     )
     return linreg_gd(feats, ["x0", "x1", "x2"], "y", lr=0.1, iters=3)
+
+
+def _svm_oracle(k: int = 5, lr: float = 0.1, iters: int = 3) -> str:
+    """Unrolled hinge-subgradient trace in DuckDB SQL (the SVM twin of
+    q_linreg_train's literal CTE chain, generated because k=5 weights ×
+    3 iterations is too bulky to write by hand). The w·x chain is
+    left-associated to match regression.py::_dot_wx op-for-op."""
+    xs = " + ".join(f"w.w{i}*x{i}" for i in range(k))
+    margin = f"(y * ({xs}))"
+    feats = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, k)
+    )
+    parts = [
+        f"f AS (SELECT 1.0 AS x0, {feats},\n"
+        f"  CASE WHEN label % 2 = 0 THEN -1.0 ELSE 1.0 END AS y\n"
+        f"  FROM embeddings)",
+        "ww0 AS (SELECT " + ", ".join(f"0.0 AS w{i}" for i in range(k)) + ")",
+    ]
+    for t in range(1, iters + 1):
+        grads = ", ".join(
+            f"round(avg(CASE WHEN {margin} < 1 THEN -y*x{i} ELSE 0.0 END), 6)"
+            f" AS g{i}"
+            for i in range(k)
+        )
+        parts.append(
+            f"st{t} AS (SELECT {grads},\n"
+            f"  round(avg(CASE WHEN {margin} < 1 THEN 1 - {margin} "
+            f"ELSE 0.0 END), 6) AS hinge\n"
+            f"  FROM f, ww{t - 1} w)"
+        )
+        ups = ", ".join(
+            f"round(w.w{i} - {lr} * s.g{i}, 6) AS w{i}" for i in range(k)
+        )
+        parts.append(f"ww{t} AS (SELECT {ups} FROM ww{t - 1} w, st{t} s)")
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS iteration, "
+        + ", ".join(f"w.w{i}" for i in range(k))
+        + f", s.hinge FROM ww{t} w, st{t} s"
+        for t in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{finals}\nORDER BY iteration"
+
+
+@register(
+    "q_svm_train",
+    oracle=_svm_oracle(),
+    description="Distributed linear-SVM training by full-batch hinge "
+                "subgradient descent (datapipe/regression.py::svm_gd) — "
+                "the quality-CLASSIFIER counterpart to q_linreg_train "
+                "(the fastText-style doc scorer curation pipelines "
+                "train): same broadcast-parameter shape (weights "
+                "broadcast, per-row subgradients are codegen CASE "
+                "arithmetic, one map-side-partial aggregate per "
+                "iteration, nothing collects). Hinge over logistic "
+                "DELIBERATELY — exp-free, so the rounded trace is "
+                "bit-reproducible across engines. Separates even-vs-odd "
+                "embedding labels from the first 4 dims + bias.",
+    tags=("datapipe",),
+)
+def q_svm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.regression import svm_gd
+
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.lit(1.0).alias("x0"),
+        *[F.col("embedding")[i].alias(f"x{i + 1}") for i in range(4)],
+        F.when(F.col("label") % 2 == 0, F.lit(-1.0))
+        .otherwise(F.lit(1.0)).alias("y"),
+    )
+    return svm_gd(feats, [f"x{i}" for i in range(5)], "y", lr=0.1, iters=3)
+
+
+@register(
+    "q_token_budget_select",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_SQL_QUALITY} AS quality
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM stats
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens < 10000
+    ORDER BY quality DESC, doc_id
+    """,
+    description="Token-budget corpus selection (datapipe/corpus.py::"
+                "token_budget_select): keep the highest-quality docs "
+                "until a 10k-token budget fills — the 'best N tokens' "
+                "curation cut between scoring and packing. The oracle's "
+                "global-order window cumsum is the textbook form; the "
+                "Spark side computes the identical inclusive cumsum "
+                "via operators/windows.py::global_running_sum (range-"
+                "repartition + parallel per-range windows + broadcast "
+                "prefix bases — no single-task window anywhere).",
+    tags=("datapipe",),
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    stats = CP.text_stats(docs).select("doc_id", "n_tokens", "quality")
+    sel = CP.token_budget_select(stats, budget=10000)
+    return sel.select("doc_id", "n_tokens", "quality", "cum_tokens").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )

@@ -627,3 +627,36 @@ def test_linreg_gd_converges_on_exact_linear_data(spark):
     last = trace[-1]
     assert abs(last.w0 - 0.5) < 0.05 and abs(last.w1 - 0.3) < 0.1
     assert last.mse < 1e-3
+
+
+def test_token_budget_straddler_policy(spark):
+    """Greedy prefix: a doc is kept iff tokens BEFORE it are under
+    budget — the straddling doc is included, budget 0 selects nothing."""
+    from real_big_data_project_spark.datapipe.corpus import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 5), (2, 0.8, 5), (3, 0.7, 5)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    ids = sorted(r.doc_id for r in token_budget_select(df, budget=7).collect())
+    assert ids == [1, 2]  # doc2 straddles the 7-token line, doc3 is out
+    assert token_budget_select(df, budget=0).count() == 0
+    assert token_budget_select(df, budget=1).count() == 1
+
+
+def test_svm_gd_learns_separable_labels(spark):
+    """Hinge subgradient descent on y = sign(x1): baseline hinge is 1.0
+    (zero weights), loss falls, and the separating weight goes
+    positive."""
+    from real_big_data_project_spark.datapipe.regression import svm_gd
+
+    rows = [(1.0, float(v), 1.0 if v > 0 else -1.0)
+            for v in (-3, -2, -1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, y double")
+    trace = (
+        svm_gd(df, ["x0", "x1"], "y", lr=0.5, iters=4)
+        .orderBy("iteration").collect()
+    )
+    assert trace[0].hinge == 1.0
+    assert trace[-1].hinge < trace[0].hinge
+    assert trace[-1].w1 > 0

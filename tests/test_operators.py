@@ -242,3 +242,27 @@ def test_expectations_guard_rails(spark):
         expectations_report(empty, [("bad-name", F.col("v") > 0)])
     with pytest.raises(ValueError, match="non-empty"):
         expectations_report(empty, [])
+
+
+def test_global_running_sum_matches_global_window(spark):
+    """Range-sharded cumsum == the single-task window it replaces, on an
+    ordering that scrambles the id order (value DESC, id)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.operators.windows import global_running_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 9)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = global_running_sum(
+        df, [F.col("v").desc(), "id"], "v", out_col="cs", num_ranges=7
+    )
+    w = (
+        Window.orderBy(F.col("v").desc(), "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cs", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

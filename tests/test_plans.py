@@ -315,3 +315,42 @@ def test_merge_upsert_single_resolve_aggregate(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_merge_upsert")
     assert "FullOuter" in plan
     assert "Window" not in plan
+
+
+def test_wait_fault_collapses_exists_pair_to_one_aggregate(qmap, spark, sf_dir):
+    """q_supplier_wait_fault: the EXISTS/NOT-EXISTS pair must come from
+    ONE per-order lineitem aggregate — two lineitem scans total (l1 +
+    stats), never the three the textbook correlated form implies."""
+    plan = plan_of(qmap, spark, sf_dir, "q_supplier_wait_fault")
+    assert plan.count("lineitem.parquet") == 2
+
+
+def test_market_share_shuffles_only_the_fact_edge(qmap, spark, sf_dir):
+    """q_market_share: both nation roles, region, customer and supplier
+    ride broadcast joins; at most the lineitem⋈orders edge sort-merges."""
+    plan = plan_of(qmap, spark, sf_dir, "q_market_share")
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_profit_join_shuffles_only_the_fact_edge(qmap, spark, sf_dir):
+    """q_profit_by_nation_year: widest unfiltered join in the catalog —
+    part/supplier/nation broadcast, only lineitem⋈orders may shuffle."""
+    plan = plan_of(qmap, spark, sf_dir, "q_profit_by_nation_year")
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_promo_revenue_pushes_shipdate_range(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "q_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_token_budget_cumsum_is_range_sharded(qmap, spark, sf_dir):
+    """global_running_sum: the corpus-sized window partitions on the
+    stamped range id (hash Exchange over _gpid); the only un-partitioned
+    window is the <= num_ranges base-offset prefix sum."""
+    plan = plan_of(qmap, spark, sf_dir, "q_token_budget_select")
+    assert "windowspecdefinition(_gpid" in plan
+    assert "hashpartitioning(_gpid" in plan
