@@ -1,0 +1,88 @@
+"""Distributed PageRank — the engine's third iterative algorithm
+(alongside clustering.py's k-means and components.py's star rounds),
+covering the link-analysis family a web-scale corpus pipeline uses for
+source-quality weighting (rank domains by citation graph, weight docs
+by host authority).
+
+Scale shape per iteration:
+  * edges are the only fact-sized frame and are touched ONCE — one join
+    against the node-sized rank table, one hash aggregate by dst;
+  * ranks and degrees are node-sized and BROADCAST (right up to
+    ~10M-node graphs; past that, drop the broadcast hints and the same
+    plan shuffle-joins on src — the code path is identical);
+  * `localCheckpoint` pins each iteration's node-sized result so the
+    lazy plan stays O(1) deep (same rationale as regression.py).
+
+Determinism contract (what makes a float iteration oracle-checkable,
+same as clustering.py / regression.py): ranks round to ``round_dp``
+after every iteration, so both engines feed bit-identical inputs into
+the next round regardless of their float-summation order; teleport and
+damping terms are written in the same association order as the oracle
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, pr).
+
+    Callers model undirected graphs by passing symmetric edges — then
+    every node appears as a source (outdeg ≥ 1) AND as a destination,
+    so there is no dangling mass and no zero-contribution node; the
+    LEFT join + coalesce below still guards the general directed case.
+    The node universe is the distinct sources.
+    """
+    # Pin the edge list and degree table ONCE: every iteration's plan
+    # references both, and without materialization the upstream edge
+    # derivation (often a fact-sized join+distinct) re-executes per
+    # iteration — 3 iterations cost 3 edge builds. localCheckpoint here
+    # is the local stand-in for persist(DISK_ONLY) on a cluster.
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy(F.col(src).alias("dnode")).agg(
+        F.count("*").alias("outdeg")
+    ).localCheckpoint()
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("dnode").alias("node"),
+            F.round(F.lit(1.0) / F.col("n_nodes"), round_dp).alias("pr"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(F.broadcast(ranks), F.col(src) == F.col("node"))
+            .join(F.broadcast(deg), F.col(src) == F.col("dnode"))
+            .groupBy(F.col(dst).alias("cnode"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+        )
+        # (1.0 - damping) stays an expression, not a Python-folded
+        # constant: both engines then run the identical IEEE subtraction
+        # (1.0 - 0.85 != the literal 0.15 in the last ulp).
+        ranks = (
+            deg.join(contrib, F.col("dnode") == F.col("cnode"), "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dnode").alias("node"),
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

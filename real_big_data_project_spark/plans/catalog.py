@@ -108,6 +108,10 @@ _RISKIEST: tuple[str, ...] = (
     "q_profit_by_nation_year",
     "q_svm_train",
     "q_token_budget_select",
+    "q_recursive_ancestry",
+    "q_pagerank",
+    "q_grouping_sets",
+    "q_median_mode",
 )
 
 

@@ -2837,3 +2837,146 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ship_after_order", F.col("l_shipdate") >= F.col("o_orderdate")),
     ]
     return expectations_report(j, rules)
+
+
+# ---------------------------------------------------------------------------
+# Recursive / multi-grouping / order-statistics additions (round 4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_recursive_ancestry",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey, c_custkey AS cur, 0 AS depth, c_custkey AS path_sum
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, cur // 8 AS cur, depth + 1, path_sum + (cur // 8)
+      FROM walk WHERE cur > 0
+    )
+    SELECT c_custkey, depth, path_sum
+    FROM walk WHERE cur = 0
+    ORDER BY c_custkey
+    """,
+    description="Recursive CTE hierarchy walk (Spark 4's native WITH "
+                "RECURSIVE — the SQL surface's newest branch): every "
+                "customer climbs a synthetic parent chain (parent = "
+                "key div 8) to the root, returning depth and the sum "
+                "of ancestor keys. Integer-only recursion terminates "
+                "in O(log key) levels; both engines run the identical "
+                "UNION ALL fixpoint, so the oracle is the same "
+                "recursive query in DuckDB dialect (// for DIV).",
+)
+def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = R.load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey, c_custkey AS cur, 0 AS depth,
+                 c_custkey AS path_sum
+          FROM {c}
+          UNION ALL
+          SELECT c_custkey, cur DIV 8 AS cur, depth + 1,
+                 path_sum + (cur DIV 8)
+          FROM walk WHERE cur > 0
+        )
+        SELECT c_custkey, depth, path_sum
+        FROM walk WHERE cur = 0
+        ORDER BY c_custkey
+        """,
+        c=cust,
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="Explicit GROUPING SETS with grouping_id — the "
+                "arbitrary-combination sibling of q_cube/q_rollup "
+                "(which only cover the full lattice / prefix chain). "
+                "One Expand + one aggregate; gid disambiguates real "
+                "NULL keys from rolled-up ones, and both engines use "
+                "the same MSB-first bitmask encoding.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_median_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    maxc AS (
+      SELECT l_returnflag, max(cnt) AS max_cnt
+      FROM counts GROUP BY l_returnflag
+    ),
+    modes AS (
+      SELECT c.l_returnflag, min(c.l_quantity) AS mode_qty,
+             max(c.cnt) AS mode_cnt
+      FROM counts c JOIN maxc m
+        ON m.l_returnflag = c.l_returnflag AND c.cnt = m.max_cnt
+      GROUP BY c.l_returnflag
+    ),
+    med AS (
+      SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, m.median_qty, o.mode_qty, o.mode_cnt
+    FROM med m JOIN modes o ON o.l_returnflag = m.l_returnflag
+    ORDER BY m.l_returnflag
+    """,
+    description="Exact interpolated median + DETERMINISTIC mode per "
+                "group. Engines' built-in mode() tie-breaks "
+                "arbitrarily, so mode is computed as min(value) among "
+                "the max-count ties — value-count aggregate, per-group "
+                "max, tie join — identical policy in both engines; "
+                "median uses the shared even-count interpolation.",
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = R.load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    maxc = counts.groupBy("l_returnflag").agg(F.max("cnt").alias("max_cnt"))
+    modes = (
+        counts.join(F.broadcast(maxc), "l_returnflag")
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("mode_qty"),
+             F.max("cnt").alias("mode_cnt"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty")
+    )
+    return (
+        med.join(modes, "l_returnflag")
+        .select("l_returnflag", "median_qty", "mode_qty", "mode_cnt")
+        .orderBy("l_returnflag")
+    )

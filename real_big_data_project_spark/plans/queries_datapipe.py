@@ -2790,3 +2790,78 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", "n_tokens", "quality", "cum_tokens").orderBy(
         F.col("quality").desc(), "doc_id"
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85,
+                     dp: int = 10, topk: int = 20) -> str:
+    """Unrolled PageRank trace in DuckDB SQL (generated CTE chain, same
+    convention as _svm_oracle). Nodes namespace as custkey*2 /
+    suppkey*2+1 so the bipartite sides cannot collide."""
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey * 2 AS src,"
+        " l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst AS src, src AS dst FROM pairs)",
+        "deg AS (SELECT src AS dnode, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n_nodes FROM deg)",
+        f"r0 AS (SELECT dnode AS node, round(1.0 / n_nodes, {dp}) AS pr"
+        f" FROM deg, nn)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS cnode,"
+            f" sum(r.pr / d.outdeg) AS contrib"
+            f" FROM edges e JOIN r{t - 1} r ON r.node = e.src"
+            f" JOIN deg d ON d.dnode = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT d.dnode AS node,"
+            f" round((1.0 - {damping}) / nn.n_nodes"
+            f" + {damping} * coalesce(c.contrib, 0.0), {dp}) AS pr"
+            f" FROM deg d LEFT JOIN c{t} c ON c.cnode = d.dnode, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, pr FROM r{iters} ORDER BY pr DESC, node"
+        + f" LIMIT {topk}"
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    description="Distributed PageRank (datapipe/graph.py::pagerank) "
+                "over the bipartite customer↔supplier trade graph "
+                "(distinct orders⋈lineitem pairs, symmetrized) — the "
+                "link-analysis pass a web-corpus pipeline runs for "
+                "source-authority weighting. Per iteration the edges "
+                "are touched once against broadcast node-sized "
+                "rank/degree tables, one hash aggregate by dst; ranks "
+                "round to 10 dp per iteration so the 3-step trace is "
+                "bit-reproducible (oracle = unrolled CTE chain). "
+                "Returns the top-20 authorities under a total order.",
+    tags=("datapipe",),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.graph import pagerank
+
+    orders = R.load_table(spark, sf_dir, "orders")
+    li = R.load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=3)
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )

@@ -660,3 +660,20 @@ def test_svm_gd_learns_separable_labels(spark):
     assert trace[0].hinge == 1.0
     assert trace[-1].hinge < trace[0].hinge
     assert trace[-1].w1 > 0
+
+
+def test_pagerank_on_known_path_graph(spark):
+    """3-node path a-b-c (symmetric): ends are symmetric by structure so
+    their ranks must be equal, the middle node dominates, and total mass
+    stays 1 (teleport + redistribution conserve it)."""
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.datapipe.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    ranks = {r.node: r.pr for r in pagerank(edges, iters=5).collect()}
+    assert ranks[1] == ranks[3]
+    assert ranks[2] > ranks[1]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
