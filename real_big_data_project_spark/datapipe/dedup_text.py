@@ -16,7 +16,7 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import normalized_tokens, word_shingles
@@ -514,3 +514,109 @@ def span_dedup(corpus: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+def simjoin_prefix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join: all pairs with Jaccard >= threshold
+    over distinct n-word shingles, via PREFIX FILTERING (Chaudhuri/Ganti/
+    Kaushik ICDE'06; Bayardo/Ma/Srikant WWW'07 "All-Pairs") — the
+    zero-recall-loss counterpart to the MinHash-LSH family: LSH can miss
+    true pairs between bands, this cannot, yet it still never goes
+    all-pairs.
+
+    Why it prunes: order every doc's shingles by GLOBAL RARITY (document
+    frequency asc, shingle asc — a total order). If J(A,B) >= t, the two
+    sets overlap so much that A's first |A| - ceil(t*|A|) + 1 rarest
+    shingles must contain at least one shared shingle — so candidate
+    pairs only need to agree on a PREFIX token, and prefixes are built
+    from the rarest (least-blocking-prone) end of the vocabulary.
+
+    Distributed shape: shingle DF counts are one hash-agg; the rarity
+    rank uses operators/windows.py::global_row_number (vocab-scale, no
+    single-task window); per-doc prefix positions are a doc-partitioned
+    window; candidates come from ONE prefix-token equi-join;
+    verification joins token lists for CANDIDATE pairs only. Jaccard is
+    a ratio of small ints — bit-exact across engines, no rounding games
+    needed for the threshold.
+    """
+    from ..operators.windows import global_row_number
+
+    # The shingle frame feeds five consumers (sizes, rarity counts, the
+    # ranked prefix, and both verification sides) — pin it once or the
+    # posexplode+window+distinct pipeline re-executes per consumer
+    # (measured 17 s -> ~5 s at sf0.1). persist(DISK_ONLY) on a cluster.
+    sh = exploded_shingles(docs, n_shingle, id_col, text_col).localCheckpoint()
+    sizes = sh.groupBy(F.col("doc_id").alias("sz_doc")).agg(
+        F.count("*").alias("n_sh")
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rarity = global_row_number(
+        freq, [F.col("df"), F.col("shingle")], out_col="trank"
+    ).select("shingle", "trank")
+    ranked = sh.join(rarity, "shingle")
+    pos_w = Window.partitionBy("doc_id").orderBy("trank")
+    # The 1e-9 slack on every float-derived integer bound below makes
+    # rounding one-sided: a last-ulp error can only WEAKEN pruning (keep
+    # an extra candidate), never drop a true pair.
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(pos_w))
+        .join(sizes, F.col("doc_id") == F.col("sz_doc"))
+        .filter(
+            F.col("_pos")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - 1e-9) + 1
+        )
+        .select("doc_id", "shingle", "_pos", "n_sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter (t·|B| ≤ |A| ≤ |B|/t) and PPJoin positional filter:
+    # overlap through this shared token is at most
+    # min(|A|-posA, |B|-posB)+1, which must reach the required overlap
+    # o = ceil(t/(1+t)·(|A|+|B|)). Both prune candidate ROWS; a true
+    # pair always survives via its rarest shared prefix token (loosest
+    # positional bound), so the distinct() pair set stays lossless —
+    # on a low-rarity-skew corpus these cut candidates ~3.3× (measured).
+    req = F.ceil(
+        F.lit(threshold) / (1.0 + threshold)
+        * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
+    )
+    ub = F.least(
+        F.col("a.n_sh") - F.col("a._pos"),
+        F.col("b.n_sh") - F.col("b._pos"),
+    ) + 1
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("b.n_sh") * threshold <= F.col("a.n_sh") + 1e-9)
+               & (F.col("a.n_sh") * threshold <= F.col("b.n_sh") + 1e-9)
+               & (ub >= req))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("tok_a"))
+    sb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("tok_b"))
+    inter = (
+        cand.join(sa, "da")
+        .join(sb, (F.col("db") == F.col("db2"))
+              & (F.col("tok_a") == F.col("tok_b")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("sz_doc").alias("da"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("sz_doc").alias("db"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(na, "da").join(nb, "db")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("da", "db", F.round("jaccard", 5).alias("jaccard"))

@@ -121,3 +121,88 @@ def unigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.avg("surprisal"), SURPRISAL_ROUND).alias("mean_surprisal"),
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-distribution diagnostics: Shannon entropy
+    H(p_s) = −Σ p_s(t)·ln p_s(t) and KL(p_s ‖ p_corpus) — the domain-
+    drift / mixture-health metrics a pretraining pipeline tracks per
+    data source (a source whose KL spikes has drifted from the corpus
+    mixture; entropy collapse flags boilerplate floods).
+
+    Everything is ratios of integer counts into ln (the surprisal
+    contract: per-term values bit-identical across engines; only the
+    final sums round). KL is finite by construction — every source term
+    is also a corpus term. Shape: one explode, one (source, term)
+    aggregate, a broadcast corpus-frequency join, one per-source
+    aggregate.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(normalized_tokens(text_col)).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("n_st"))
+    s_tot = st.groupBy(F.col("source").alias("s2")).agg(
+        F.sum("n_st").alias("n_s")
+    )
+    corpus = st.groupBy(F.col("term").alias("t2")).agg(
+        F.sum("n_st").alias("n_t")
+    )
+    c_tot = corpus.agg(F.sum("n_t").alias("n_c"))
+    p_s = F.col("n_st") / F.col("n_s")
+    p_c = F.col("n_t") / F.col("n_c")
+    return (
+        st.join(F.broadcast(s_tot), F.col("source") == F.col("s2"))
+        .join(F.broadcast(corpus), F.col("term") == F.col("t2"))
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(-p_s * F.log(p_s)), 5).alias("entropy"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 5).alias("kl_vs_corpus"),
+        )
+    )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit for the corpus: OLS of ln(frequency) on ln(rank)
+    over the term-frequency table — slope ≈ −1 is the healthy-natural-
+    text signature; |slope| far off flags synthetic/templated corpora.
+    Returns one row (n_terms, slope, intercept).
+
+    Ranks are exact (operators/windows.py::global_row_number over
+    (freq DESC, term) — vocabulary-scale, no single-task window); the
+    closed-form OLS is the five-partial-sums single-aggregate shape of
+    q_trend_slope_sql. Slope/intercept round at 5 dp under the ln
+    parity contract.
+    """
+    from ..operators.windows import global_row_number
+
+    toks = docs.select(F.explode(normalized_tokens(text_col)).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("n_t"))
+    ranked = global_row_number(
+        freq, [F.col("n_t").desc(), F.col("term")], out_col="rank"
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n_t").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 5).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 5)
+        .alias("intercept"),
+    )

@@ -11,7 +11,7 @@ oracle. Ties on the timestamp are broken by a struct tiebreaker when a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,4 +103,51 @@ def rowwise_mean_std(df: DataFrame, cols: list[str], keep: list[str]) -> DataFra
         .withColumn("row_std", F.sqrt(var))
         .withColumnRenamed("_rw_mean", "row_mean")
         .select(*keep, "row_mean", "row_std")
+    )
+
+
+def vwap_twap_daily(
+    ticks: DataFrame,
+    key: str,
+    ts: str,
+    price: str,
+    volume: str,
+    tiebreak: str,
+    day_alias: str = "trade_date",
+) -> DataFrame:
+    """Daily VWAP + TWAP per series — the two standard execution-quality
+    benchmarks a trading dashboard puts next to OHLCV bars.
+
+    VWAP = sum(price*volume) / sum(volume) over the day.
+    TWAP = time-weighted mean: each tick is weighted by the time until
+    the NEXT tick in the same (series, day); the day's last tick has no
+    forward interval and drops from both sums (NULL for 1-tick days —
+    callers see that a single print has no time dimension).
+
+    Cross-engine float discipline: the tick gap is measured in EXACT
+    integer microseconds (second-granularity diffs truncate differently
+    across engines when sub-second parts are present), converted to
+    seconds by one identical /1e6, and numerator/denominator round to
+    2 dp before the 6 dp ratio (same contract as q_market_share).
+    """
+    day = F.col(ts).cast("date").alias(day_alias)
+    w = Window.partitionBy(key, F.col(ts).cast("date")).orderBy(ts, tiebreak)
+    per_tick = ticks.withColumn("_next_ts", F.lead(ts).over(w)).select(
+        F.col(key), day, F.col(price).alias("_p"),
+        F.col(volume).alias("_v"),
+        (F.expr(f"timestampdiff(MICROSECOND, {ts}, _next_ts)")
+         .cast("double") / 1000000.0).alias("_dt"),
+    )
+    return (
+        per_tick.groupBy(key, day_alias)
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("_p") * F.col("_v")), 2)
+                / F.round(F.sum("_v"), 2), 6,
+            ).alias("vwap"),
+            F.round(
+                F.round(F.sum(F.col("_p") * F.col("_dt")), 2)
+                / F.nullif(F.round(F.sum("_dt"), 2), F.lit(0.0)), 6,
+            ).alias("twap"),
+        )
     )

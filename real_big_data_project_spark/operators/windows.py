@@ -316,3 +316,35 @@ def ewma(
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
     )
     return df.select(key, order_col, value).withColumn("ewma", folded)
+
+
+def longest_streaks(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: group consecutive flagged rows (in ``order_col``
+    order per ``key``) into islands and report per-key streak stats —
+    the classic difference-of-row-numbers rewrite (rn over all rows
+    minus rn over flagged rows is constant within a consecutive run).
+    Two partitioned window passes + two aggregates; nothing global.
+
+    Returns (key, longest_streak, n_streaks, n_flagged).
+    """
+    rn_all = F.row_number().over(Window.partitionBy(key).orderBy(order_col))
+    flagged = (
+        df.withColumn("_rn", rn_all)
+        .filter(F.col(flag_col))
+        .withColumn(
+            "_grp",
+            F.col("_rn")
+            - F.row_number().over(Window.partitionBy(key).orderBy(order_col)),
+        )
+    )
+    streaks = flagged.groupBy(key, "_grp").agg(F.count("*").alias("_len"))
+    return streaks.groupBy(key).agg(
+        F.max("_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("_len").cast("long").alias("n_flagged"),
+    )

@@ -112,6 +112,13 @@ _RISKIEST: tuple[str, ...] = (
     "q_pagerank",
     "q_grouping_sets",
     "q_median_mode",
+    "q_simjoin_prefix",
+    "q_vwap_twap",
+    "q_up_streaks",
+    "q_source_divergence",
+    "q_zipf_fit",
+    "q_variant_extract",
+    "q_udtf_chunks",
 )
 
 

@@ -2980,3 +2980,117 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "median_qty", "mode_qty", "mode_cnt")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_vwap_twap",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, cast(ts AS DATE) AS trade_date, value,
+             (event_id % 1000) + 1 AS volume,
+             CAST(date_diff('microsecond', ts,
+                  lead(ts) OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                 ORDER BY ts, event_id)) AS DOUBLE)
+               / 1000000.0 AS dt
+      FROM events)
+    SELECT user_id, trade_date,
+           round(round(sum(value * volume), 2) / round(sum(volume), 2), 6)
+             AS vwap,
+           round(round(sum(value * dt), 2) / nullif(round(sum(dt), 2), 0), 6)
+             AS twap
+    FROM t GROUP BY user_id, trade_date
+    ORDER BY user_id, trade_date
+    """,
+    description="Daily VWAP + TWAP per series (operators/aggregates.py::"
+                "vwap_twap_daily) — the execution-quality benchmarks "
+                "beside the OHLCV bars (the reference dashboard's tick "
+                "feed, dashboard/tabs/tab1.py). One series-day window "
+                "for the forward tick gap (EXACT integer microseconds "
+                "— second-granularity diffs truncate differently across "
+                "engines), one grouped aggregate; 2-dp-before-ratio "
+                "rounding. 1-tick days report NULL TWAP.",
+)
+def q_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+    return A.vwap_twap_daily(
+        ev, key="user_id", ts="ts", price="value", volume="volume",
+        tiebreak="event_id",
+    ).orderBy("user_id", "trade_date")
+
+
+@register(
+    "q_up_streaks",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, cast(ts AS DATE) AS d,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close
+      FROM events GROUP BY user_id, cast(ts AS DATE)),
+    flags AS (
+      SELECT user_id, d, (close > open) AS up,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM bars),
+    islands AS (
+      SELECT user_id,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM flags WHERE up),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len
+      FROM islands GROUP BY user_id, grp)
+    SELECT user_id, max(len) AS longest_streak,
+           count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_flagged
+    FROM streaks GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="Gaps-and-islands (operators/windows.py::"
+                "longest_streaks): longest run of consecutive up-days "
+                "(close > open) per series via the difference-of-row-"
+                "numbers island id — the canonical consecutive-events "
+                "SQL shape (win streaks, outage spans, login runs). "
+                "Everything is series-partitioned windows + aggregates; "
+                "up/down flags compare actual tick values (ordered "
+                "aggregates), so no float-rounding hazard.",
+)
+def q_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.events_with_volume(spark, sf_dir)
+    bars = A.ohlcv_daily(
+        ev, key="user_id", ts="ts", price="value", volume="volume",
+        day_alias="d", tiebreak="event_id",
+    ).select("user_id", "d", "open", "close")
+    flagged = bars.withColumn("up", F.col("close") > F.col("open"))
+    return W.longest_streaks(
+        flagged, key="user_id", order_col="d", flag_col="up"
+    ).orderBy("user_id")
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                AS BIGINT) AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, k_bucket
+    """,
+    description="Spark 4 VARIANT path for semi-structured data: "
+                "parse_json(props) ONCE into a typed variant, "
+                "variant_get the field with a target type, aggregate — "
+                "the 'parse once, reuse' pattern recommended over "
+                "per-access get_json_object (q_json_extract is the "
+                "string-path twin). Binary variant encoding makes "
+                "repeated field access O(field), not O(re-parse).",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+        .agg(F.count("*").alias("n"),
+             F.sum("k").cast("long").alias("sum_k"))
+        .orderBy("event_type", "k_bucket")
+    )

@@ -2865,3 +2865,169 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "q_simjoin_prefix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS tk
+      FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))),
+                 5) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.5
+    ORDER BY da, db
+    """,
+    description="EXACT set-similarity self-join, Jaccard >= 0.5 over "
+                "3-word shingles via prefix filtering (datapipe/"
+                "dedup_text.py::simjoin_prefix; Bayardo et al. WWW'07) "
+                "— the zero-recall-loss counterpart to the MinHash-LSH "
+                "family: shingles order by global rarity (rank via the "
+                "sharded global_row_number), candidates share a rare "
+                "PREFIX shingle (one equi-join, never all-pairs), "
+                "verification touches candidates only. The oracle is "
+                "the brute-force all-pairs join — equality IS the "
+                "proof that the pruning is lossless.",
+    tags=("datapipe",),
+)
+def q_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return DT.simjoin_prefix(docs, threshold=0.5).orderBy("da", "db")
+
+
+@register(
+    "q_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(t) AS term
+      FROM (SELECT source, {SQL_TOKS} AS t FROM documents)
+    ),
+    st AS (SELECT source, term, count(*) AS n_st FROM toks GROUP BY 1, 2),
+    s_tot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+    corpus AS (SELECT term, sum(n_st) AS n_t FROM st GROUP BY 1),
+    c_tot AS (SELECT sum(n_t) AS n_c FROM corpus)
+    SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(sum(-(n_st / n_s) * ln(n_st / n_s)), 5) AS entropy,
+           round(sum((n_st / n_s) * ln((n_st / n_s) / (n_t / n_c))), 5)
+             AS kl_vs_corpus
+    FROM st JOIN s_tot USING (source) JOIN corpus USING (term)
+    CROSS JOIN c_tot
+    GROUP BY st.source
+    ORDER BY source
+    """,
+    description="Per-source token-distribution entropy + KL divergence "
+                "vs the corpus mixture (datapipe/ranking.py::"
+                "source_divergence) — the domain-drift / mixture-health "
+                "metrics tracked per data source in a pretraining "
+                "pipeline. Ratios of integer counts into ln (the "
+                "surprisal parity contract), sums rounded at 5 dp; one "
+                "explode + two aggregates + broadcast joins.",
+    tags=("datapipe",),
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import source_divergence
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return source_divergence(docs).orderBy("source")
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(t) AS term
+      FROM (SELECT {SQL_TOKS} AS t FROM documents)
+    ),
+    freq AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+    ranked AS (
+      SELECT n_t,
+             row_number() OVER (ORDER BY n_t DESC, term) AS rank
+      FROM freq),
+    xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                  ln(CAST(n_t AS DOUBLE)) AS y FROM ranked),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 5) AS intercept
+    FROM s
+    """,
+    description="Zipf's-law fit over the corpus term-frequency table "
+                "(datapipe/ranking.py::zipf_fit): OLS of ln(freq) on "
+                "ln(rank), slope ≈ −1 being the natural-text signature "
+                "— a one-row corpus-health diagnostic. Exact ranks via "
+                "the sharded global_row_number (vocabulary-scale, no "
+                "single-task window); five partial sums, one aggregate "
+                "(the q_trend_slope_sql shape).",
+    tags=("datapipe",),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import zipf_fit
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs)
+
+
+@register(
+    "q_udtf_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_slice(toks, i * 20 + 1, i * 20 + 20) AS chunk
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+               AS r(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    description="Python UDTF surface (Spark 4 @udtf + LATERAL join): a "
+                "table function explodes each doc into fixed 20-token "
+                "chunks — completing the Python API inventory beside "
+                "pandas_udf / mapInPandas / applyInPandas / "
+                "applyInPandasWithState. API-coverage demo like "
+                "q_trend_slope: the expression-only q_doc_chunking is "
+                "the production chunker; a UDTF earns its keep only for "
+                "logic expressions can't say. Tokenization inside the "
+                "UDTF replicates SQL_TOKS exactly (space-only trim, "
+                "ASCII whitespace class — Python's \\s is wider than "
+                "Java/RE2's and would fork on unicode spaces).",
+    tags=("datapipe",),
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_chunk_tokens int, chunk_text string")
+    class Chunk20:
+        def eval(self, text: str):
+            s = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+            toks = s.split(" ")
+            for i in range(0, len(toks), 20):
+                piece = toks[i:i + 20]
+                yield i // 20, len(piece), " ".join(piece)
+
+    spark.udtf.register("rbds_chunk20", Chunk20)
+    docs = R.load_table(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM {d} d, LATERAL rbds_chunk20(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """,
+        d=docs,
+    )

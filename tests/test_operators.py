@@ -266,3 +266,23 @@ def test_global_running_sum_matches_global_window(spark):
     )
     want = df.withColumn("cs", F.sum("v").over(w))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_longest_streaks_islands(spark):
+    """Gaps-and-islands: runs split on unflagged rows; per-key stats."""
+    from real_big_data_project_spark.operators.windows import longest_streaks
+
+    rows = [
+        # key 1: T T F T T T -> streaks {2, 3}
+        (1, 1, True), (1, 2, True), (1, 3, False),
+        (1, 4, True), (1, 5, True), (1, 6, True),
+        # key 2: F F -> no streaks (absent from output)
+        (2, 1, False), (2, 2, False),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, up boolean")
+    got = {r.k: r for r in
+           longest_streaks(df, key="k", order_col="t", flag_col="up").collect()}
+    assert got[1].longest_streak == 3
+    assert got[1].n_streaks == 2
+    assert got[1].n_flagged == 5
+    assert 2 not in got

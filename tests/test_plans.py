@@ -354,3 +354,11 @@ def test_token_budget_cumsum_is_range_sharded(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_token_budget_select")
     assert "windowspecdefinition(_gpid" in plan
     assert "hashpartitioning(_gpid" in plan
+
+
+def test_simjoin_prefix_never_goes_all_pairs(qmap, spark, sf_dir):
+    """Exact similarity join: candidates come from the prefix-token
+    equi-join — no cartesian/nested-loop product anywhere in the plan."""
+    plan = plan_of(qmap, spark, sf_dir, "q_simjoin_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
