@@ -141,6 +141,23 @@ def cmd_delete_keys(spark: SparkSession, args: argparse.Namespace) -> dict:
             "key_col": args.key_col, "partitions_rewritten": n}
 
 
+def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Physical-plan inspection for any catalog query — the operational
+    twin of tests/test_plans.py's pinned invariants: run it before
+    shipping a plan change and look for the same signals (PushedFilters,
+    BroadcastHashJoin vs SortMergeJoin, Exchange count, WholeStageCodegen
+    spans)."""
+    from .plans import queries_map
+
+    qmap = queries_map()
+    if args.query not in qmap:
+        raise SystemExit(f"unknown query {args.query!r}; see CATALOG.md")
+    df = qmap[args.query](spark, args.sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {"cmd": "explain", "query": args.query, "sf_dir": args.sf_dir,
+            "plan": plan}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -178,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
     dk.add_argument("--key-col", required=True, dest="key_col")
     dk.add_argument("--keys", required=True,
                     help="comma-separated key values")
+
+    ex = sub.add_parser("explain",
+                        help="print a catalog query's physical plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    dest="sf_dir")
     return ap
 
 
@@ -187,7 +210,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("rbds-cli")
     fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
-          "compact": cmd_compact, "delete-keys": cmd_delete_keys}[args.cmd]
+          "compact": cmd_compact, "delete-keys": cmd_delete_keys,
+          "explain": cmd_explain}[args.cmd]
     print(json.dumps(fn(spark, args)))
     return 0
 

@@ -119,6 +119,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_zipf_fit",
     "q_variant_extract",
     "q_udtf_chunks",
+    "q_time_travel",
 )
 
 

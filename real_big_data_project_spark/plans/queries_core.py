@@ -3094,3 +3094,44 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("k").cast("long").alias("sum_k"))
         .orderBy("event_type", "k_bucket")
     )
+
+
+@register(
+    "q_time_travel",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderdate < DATE '1998-01-01'
+    UNION ALL
+    SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders
+    UNION ALL
+    SELECT 3, count(*), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_custkey % 100 != 0
+    ORDER BY version
+    """,
+    description="Time travel over the manifest-based snapshot store "
+                "(sources/snapshot_store.py): three committed versions "
+                "(append pre-1998 → append the rest → compliance-delete "
+                "custkey%100=0), each read AS OF its version and "
+                "aggregated. The oracle recomputes every version "
+                "directly from `orders` — equality proves historical "
+                "reads return exactly the as-committed data (immutable "
+                "file groups + per-version manifests + an atomic "
+                "pointer; readers resolve a manifest once, so committed "
+                "writes never leak into a pinned snapshot).",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshot_store import ensure_versioned_orders, read_snapshot
+
+    root = ensure_versioned_orders(spark, sf_dir)
+    parts = [
+        read_snapshot(spark, root, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")

@@ -106,3 +106,15 @@ def test_cli_compact_and_delete_keys(spark, sf_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["partitions_rewritten"] > 0
     assert spark.read.parquet(store).filter("user_id in (3,5)").count() == 0
+
+
+def test_cli_explain_emits_plan(capsys):
+    import json as _json
+
+    from real_big_data_project_spark.__main__ import main
+
+    rc = main(["explain", "q_topk"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "q_topk"
+    assert "TakeOrderedAndProject" in out["plan"]

@@ -377,3 +377,45 @@ def test_delete_keys_removes_fully_emptied_partitions(spark, tmp_path):
     assert not os.path.isdir(os.path.join(store, f"{PARTITION_COL}=2024-01-01"))
     got = spark.read.parquet(store).collect()
     assert [(r.event_id, r.user_id) for r in got] == [(4, 8)]
+
+
+def test_snapshot_store_time_travel_and_isolation(spark, tmp_path):
+    """Commits are versioned; a pinned historical read never sees later
+    commits; a DataFrame resolved before a commit keeps its snapshot."""
+    from real_big_data_project_spark.sources.snapshot_store import (
+        expire_snapshots, latest_version, read_snapshot, snapshot_append,
+        snapshot_compact, snapshot_delete_keys,
+    )
+
+    root = str(tmp_path / "store")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b = spark.createDataFrame([(3, "c")], "k int, v string")
+    assert snapshot_append(a, root) == 1
+    pinned = read_snapshot(spark, root)        # resolves v1's file list now
+    assert snapshot_append(b, root) == 2
+    assert sorted(r.k for r in read_snapshot(spark, root).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in read_snapshot(spark, root, version=1).collect()) == [1, 2]
+    assert sorted(r.k for r in pinned.collect()) == [1, 2]  # isolation
+
+    keys = spark.createDataFrame([(2,)], "k int")
+    assert snapshot_delete_keys(spark, root, keys, "k") == 3
+    assert sorted(r.k for r in read_snapshot(spark, root).collect()) == [1, 3]
+    # history still has the deleted row
+    assert sorted(r.k for r in read_snapshot(spark, root, version=2).collect()) == [1, 2, 3]
+
+    assert snapshot_compact(spark, root) == 4
+    assert sorted(r.k for r in read_snapshot(spark, root).collect()) == [1, 3]
+
+    removed = expire_snapshots(root, keep_from=4)
+    assert removed, "pre-compaction groups should be garbage-collected"
+    assert latest_version(root) == 4
+    assert sorted(r.k for r in read_snapshot(spark, root).collect()) == [1, 3]
+
+
+def test_snapshot_store_empty_read_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from real_big_data_project_spark.sources.snapshot_store import read_snapshot
+
+    with _pytest.raises(ValueError, match="no commits"):
+        read_snapshot(spark, str(tmp_path / "nothing"))
