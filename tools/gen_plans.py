@@ -67,6 +67,25 @@ HEADLINERS = {
     "q_zorder_layout": "Morton key is pure codegen bit arithmetic over a "
                        "broadcast 1-row bounds aggregate — no UDF, no "
                        "extra shuffle",
+    "q_supplier_wait_fault": "the EXISTS/NOT-EXISTS pair collapses to ONE "
+                             "per-order count-distinct aggregate — two "
+                             "lineitem scans total, no correlated re-scans "
+                             "(plans/queries_subquery.py)",
+    "q_market_share": "nation joins in two roles; every dimension rides a "
+                      "BroadcastHashJoin, only the lineitem⋈orders edge "
+                      "sort-merges",
+    "q_token_budget_select": "exact global cumsum without a single-task "
+                             "window: range partitioning pinned by "
+                             "localCheckpoint, per-range windows behind a "
+                             "hash Exchange on the range id, broadcast "
+                             "prefix bases",
+    "q_simjoin_prefix": "exact similarity join: candidates from a prefix-"
+                        "shingle equi join with length + positional pruning "
+                        "in the join condition — no cartesian, no nested "
+                        "loop",
+    "q_recursive_ancestry": "Spark 4 native recursive CTE: the fixpoint "
+                            "loop (UnionLoop) runs inside the engine, not "
+                            "as a driver-side iteration",
 }
 
 
