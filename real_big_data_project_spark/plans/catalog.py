@@ -93,12 +93,26 @@ _RISKIEST: tuple[str, ...] = (
     "q_gapfill_locf",
     "q_ewma_daily",
     "q_dq_expectations",
-    # round-4 continuation — the decision-support subquery family and
-    # the newest datapipe trainers/selectors go under the gate next
+    # round-4 continuation, riskiest first — the 50-query sample reaches
+    # position 50, so the subtlest cross-engine contracts (iterative
+    # float traces, rounding/parity disciplines, fixture-backed store
+    # reads, the EXISTS-pair rewrite) outrank conventional SQL shapes;
+    # the remainder rotates into the r5 sample.
     "q_supplier_wait_fault",
-    "q_min_price_supplier",
+    "q_recursive_ancestry",
+    "q_pagerank",
+    "q_simjoin_prefix",
+    "q_time_travel",
+    "q_svm_train",
+    "q_token_budget_select",
     "q_small_qty_revenue",
+    "q_min_price_supplier",
     "q_market_share",
+    "q_vwap_twap",
+    "q_udtf_chunks",
+    "q_median_mode",
+    # below the 50-line on current counts — r5 rotation
+    "q_grouping_sets",
     "q_idle_rich_customers",
     "q_order_count_distribution",
     "q_supplier_excl_count",
@@ -106,20 +120,10 @@ _RISKIEST: tuple[str, ...] = (
     "q_qualified_suppliers",
     "q_promo_revenue",
     "q_profit_by_nation_year",
-    "q_svm_train",
-    "q_token_budget_select",
-    "q_recursive_ancestry",
-    "q_pagerank",
-    "q_grouping_sets",
-    "q_median_mode",
-    "q_simjoin_prefix",
-    "q_vwap_twap",
     "q_up_streaks",
     "q_source_divergence",
     "q_zipf_fit",
     "q_variant_extract",
-    "q_udtf_chunks",
-    "q_time_travel",
 )
 
 
