@@ -134,7 +134,9 @@ def expire_snapshots(root: str, keep_from: int) -> list[str]:
     import shutil
 
     latest = latest_version(root)
-    keep_from = min(keep_from, latest)
+    if latest == 0:
+        return []
+    keep_from = max(1, min(keep_from, latest))
     live: set[str] = set()
     for v in range(keep_from, latest + 1):
         live.update(_read_manifest(root, v))

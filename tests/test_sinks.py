@@ -419,3 +419,16 @@ def test_snapshot_store_empty_read_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no commits"):
         read_snapshot(spark, str(tmp_path / "nothing"))
+
+
+def test_snapshot_store_expire_edge_cases(spark, tmp_path):
+    from real_big_data_project_spark.sources.snapshot_store import (
+        expire_snapshots, read_snapshot, snapshot_append,
+    )
+
+    root = str(tmp_path / "store2")
+    assert expire_snapshots(root, keep_from=1) == []  # no commits: no-op
+    snapshot_append(spark.createDataFrame([(1,)], "k int"), root)
+    # keep_from below the valid floor clamps to 1 instead of crashing
+    assert expire_snapshots(root, keep_from=0) == []
+    assert [r.k for r in read_snapshot(spark, root).collect()] == [1]
