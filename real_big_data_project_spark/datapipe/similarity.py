@@ -39,10 +39,15 @@ def auto_bucket_dims(
     tests/test_datapipe.py pins the growth factor. The cost of one extra
     dim is halved recall per cell — compensate with n_probe, which is
     O(probes) work, not O(cell²)."""
-    import math
-
-    n_cells = max(1, n_vectors) / max(1, target_cell)
-    return list(range(min(hi, max(lo, math.ceil(math.log2(max(n_cells, 2)))))))
+    # Integer arithmetic ONLY (no libm): d = smallest dim count with
+    # target_cell·2^d ≥ n, clamped to [lo, hi] — equivalent to
+    # ceil(log2(n/target_cell)) but reproducible bit-for-bit by a SQL
+    # oracle (an integer search over range(lo, hi), no float log whose
+    # last ulp could flip a ceil at the 2^k boundaries).
+    d = lo
+    while d < hi and target_cell * (1 << d) < max(1, n_vectors):
+        d += 1
+    return list(range(d))
 
 
 def _resolve_dims(bucket_dims, emb: DataFrame, id_col: str) -> list[int]:

@@ -124,30 +124,39 @@ def vwap_twap_daily(
     forward interval and drops from both sums (NULL for 1-tick days —
     callers see that a single print has no time dimension).
 
-    Cross-engine float discipline: the tick gap is measured in EXACT
-    integer microseconds (second-granularity diffs truncate differently
-    across engines when sub-second parts are present), converted to
-    seconds by one identical /1e6, and numerator/denominator round to
-    2 dp before the 6 dp ratio (same contract as q_market_share).
+    Cross-engine float discipline — ORDER-INDEPENDENT by construction,
+    not by rounding: the tick gap is measured in EXACT integer
+    microseconds (second-granularity diffs truncate differently across
+    engines when sub-second parts are present) and summed as a long;
+    each weighted-price term is quantized to 6 dp (identical doubles in
+    both engines) and summed as DECIMAL, which is exact in any order.
+    The earlier round-sums-to-2dp contract was NOT order-independent:
+    the sf1.0 sweep caught one of 400k groups whose dt-sum landed on a
+    2 dp rounding boundary, flipping the ratio in the 5th decimal.
     """
     day = F.col(ts).cast("date").alias(day_alias)
     w = Window.partitionBy(key, F.col(ts).cast("date")).orderBy(ts, tiebreak)
+    dt_us = F.expr(f"timestampdiff(MICROSECOND, {ts}, _next_ts)")
+    dec = "decimal(28,6)"
     per_tick = ticks.withColumn("_next_ts", F.lead(ts).over(w)).select(
-        F.col(key), day, F.col(price).alias("_p"),
-        F.col(volume).alias("_v"),
-        (F.expr(f"timestampdiff(MICROSECOND, {ts}, _next_ts)")
-         .cast("double") / 1000000.0).alias("_dt"),
+        F.col(key), day,
+        F.round(F.col(price) * F.col(volume), 6).cast(dec).alias("_pv"),
+        F.col(volume).cast("long").alias("_v"),
+        F.round(F.col(price) * (dt_us.cast("double") / 1000000.0), 6)
+        .cast(dec).alias("_pdt"),
+        dt_us.cast("long").alias("_dt_us"),
     )
     return (
         per_tick.groupBy(key, day_alias)
         .agg(
             F.round(
-                F.round(F.sum(F.col("_p") * F.col("_v")), 2)
-                / F.round(F.sum("_v"), 2), 6,
+                F.sum("_pv").cast("double") / F.sum("_v").cast("double"), 6,
             ).alias("vwap"),
             F.round(
-                F.round(F.sum(F.col("_p") * F.col("_dt")), 2)
-                / F.nullif(F.round(F.sum("_dt"), 2), F.lit(0.0)), 6,
+                F.sum("_pdt").cast("double")
+                / F.nullif(F.sum("_dt_us").cast("double") / 1000000.0,
+                           F.lit(0.0)),
+                6,
             ).alias("twap"),
         )
     )

@@ -2868,6 +2868,11 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = R.load_table(spark, sf_dir, "customer")
+    # The default recursion-row guard (1M accumulated rows) trips at
+    # sf1.0 (150k customers × ~7 levels). This recursion is provably
+    # bounded (cur strictly shrinks by div 8), so raise the runaway
+    # guard; the level-limit guard stays at its default.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
     return spark.sql(
         """
         WITH RECURSIVE walk AS (
@@ -2986,17 +2991,23 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vwap_twap",
     oracle="""
     WITH t AS (
-      SELECT user_id, cast(ts AS DATE) AS trade_date, value,
-             (event_id % 1000) + 1 AS volume,
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             CAST(round(value * ((event_id % 1000) + 1), 6)
+                  AS DECIMAL(28,6)) AS pv,
+             CAST((event_id % 1000) + 1 AS BIGINT) AS v,
+             CAST(round(value * (CAST(date_diff('microsecond', ts,
+                    lead(ts) OVER (PARTITION BY user_id, cast(ts AS DATE)
+                                   ORDER BY ts, event_id)) AS DOUBLE)
+                    / 1000000.0), 6) AS DECIMAL(28,6)) AS pdt,
              CAST(date_diff('microsecond', ts,
                   lead(ts) OVER (PARTITION BY user_id, cast(ts AS DATE)
-                                 ORDER BY ts, event_id)) AS DOUBLE)
-               / 1000000.0 AS dt
+                                 ORDER BY ts, event_id)) AS BIGINT) AS dt_us
       FROM events)
     SELECT user_id, trade_date,
-           round(round(sum(value * volume), 2) / round(sum(volume), 2), 6)
+           round(CAST(sum(pv) AS DOUBLE) / CAST(sum(v) AS DOUBLE), 6)
              AS vwap,
-           round(round(sum(value * dt), 2) / nullif(round(sum(dt), 2), 0), 6)
+           round(CAST(sum(pdt) AS DOUBLE)
+                 / nullif(CAST(sum(dt_us) AS DOUBLE) / 1000000.0, 0), 6)
              AS twap
     FROM t GROUP BY user_id, trade_date
     ORDER BY user_id, trade_date
@@ -3007,8 +3018,11 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "feed, dashboard/tabs/tab1.py). One series-day window "
                 "for the forward tick gap (EXACT integer microseconds "
                 "— second-granularity diffs truncate differently across "
-                "engines), one grouped aggregate; 2-dp-before-ratio "
-                "rounding. 1-tick days report NULL TWAP.",
+                "engines), one grouped aggregate. Sums are ORDER-"
+                "INDEPENDENT (quantized terms into DECIMAL, gaps as "
+                "long micros) — the sf1.0 sweep caught the previous "
+                "round-the-float-sum contract flipping one group on a "
+                "2 dp boundary. 1-tick days report NULL TWAP.",
 )
 def q_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.events_with_volume(spark, sf_dir)
