@@ -677,3 +677,30 @@ def test_pagerank_on_known_path_graph(spark):
     assert ranks[1] == ranks[3]
     assert ranks[2] > ranks[1]
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_auto_bucket_dims_matches_the_oracle_integer_rule():
+    """auto_bucket_dims must stay reproducible by the SQL mirror's
+    integer search (q_knn_graph's oracle): smallest d in [4,16] with
+    32·2^d >= n."""
+    from real_big_data_project_spark.datapipe import similarity as SIM
+
+    for n in (1, 31, 512, 513, 1000, 2048, 2049, 10000, 10**7, 10**9):
+        d = len(SIM.auto_bucket_dims(n))
+        want = next((i for i in range(4, 17) if 32 * (1 << i) >= max(1, n)),
+                    16)
+        assert d == min(16, want), (n, d, want)
+
+
+def test_simjoin_prefix_partitioning_invariant(spark, sf_dir):
+    """The exact similarity join's result must not depend on the input
+    layout (the checkpointed rarity rank and prefix join are layout-
+    sensitive machinery; the OUTPUT contract is not)."""
+    from real_big_data_project_spark.datapipe.dedup_text import simjoin_prefix
+    from real_big_data_project_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, simjoin_prefix(docs, 0.5).collect()))
+    b = sorted(map(tuple,
+                   simjoin_prefix(docs.repartition(7), 0.5).collect()))
+    assert a == b and len(a) > 0
