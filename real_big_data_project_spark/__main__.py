@@ -199,7 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("explain",
                         help="print a catalog query's physical plan")
     ex.add_argument("query")
-    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+    ex.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.001"),
                     dest="sf_dir")
     return ap
 

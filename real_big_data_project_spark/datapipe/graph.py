@@ -14,11 +14,14 @@ Scale shape per iteration:
     lazy plan stays O(1) deep (same rationale as regression.py).
 
 Determinism contract (what makes a float iteration oracle-checkable,
-same as clustering.py / regression.py): ranks round to ``round_dp``
-after every iteration, so both engines feed bit-identical inputs into
-the next round regardless of their float-summation order; teleport and
-damping terms are written in the same association order as the oracle
-SQL.
+same as clustering.py / regression.py): each contribution term
+pr/outdeg is quantized to 12 dp (bit-identical per term across
+engines) and summed as DECIMAL — exact in ANY order, so no engine's
+aggregation order can flip a rounding boundary (rounding AFTER a
+float sum is not order-independent; the sf1.0 sweep caught that class
+in vwap_twap). Ranks then round to ``round_dp`` per iteration, and
+teleport/damping terms are written in the same association order as
+the oracle SQL.
 """
 
 from __future__ import annotations
@@ -66,7 +69,12 @@ def pagerank(
             edges.join(F.broadcast(ranks), F.col(src) == F.col("node"))
             .join(F.broadcast(deg), F.col(src) == F.col("dnode"))
             .groupBy(F.col(dst).alias("cnode"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pr") / F.col("outdeg"), 12)
+                    .cast("decimal(28,12)")
+                ).cast("double").alias("contrib")
+            )
         )
         # (1.0 - damping) stays an expression, not a Python-folded
         # constant: both engines then run the identical IEEE subtraction

@@ -2871,25 +2871,36 @@ def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The default recursion-row guard (1M accumulated rows) trips at
     # sf1.0 (150k customers × ~7 levels). This recursion is provably
     # bounded (cur strictly shrinks by div 8), so raise the runaway
-    # guard; the level-limit guard stays at its default.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
-    return spark.sql(
-        """
-        WITH RECURSIVE walk AS (
-          SELECT c_custkey, c_custkey AS cur, 0 AS depth,
-                 c_custkey AS path_sum
-          FROM {c}
-          UNION ALL
-          SELECT c_custkey, cur DIV 8 AS cur, depth + 1,
-                 path_sum + (cur DIV 8)
-          FROM walk WHERE cur > 0
-        )
-        SELECT c_custkey, depth, path_sum
-        FROM walk WHERE cur = 0
-        ORDER BY c_custkey
-        """,
-        c=cust,
-    )
+    # guard FOR THIS EXECUTION ONLY: the guard is read at runtime, so
+    # the result is pinned eagerly (localCheckpoint) under the raised
+    # limit and the session default is restored — a later genuinely
+    # runaway recursion still fails fast at 1M rows.
+    key = "spark.sql.cteRecursionRowLimit"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(1 << 30))
+    try:
+        out = spark.sql(
+            """
+            WITH RECURSIVE walk AS (
+              SELECT c_custkey, c_custkey AS cur, 0 AS depth,
+                     c_custkey AS path_sum
+              FROM {c}
+              UNION ALL
+              SELECT c_custkey, cur DIV 8 AS cur, depth + 1,
+                     path_sum + (cur DIV 8)
+              FROM walk WHERE cur > 0
+            )
+            SELECT c_custkey, depth, path_sum
+            FROM walk WHERE cur = 0
+            """,
+            c=cust,
+        ).localCheckpoint()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return out.orderBy("c_custkey")
 
 
 @register(
@@ -3145,7 +3156,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for v in (1, 2, 3)
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("version")
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("version")

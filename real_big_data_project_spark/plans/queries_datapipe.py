@@ -2856,7 +2856,8 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85,
     for t in range(1, iters + 1):
         parts.append(
             f"c{t} AS (SELECT e.dst AS cnode,"
-            f" sum(r.pr / d.outdeg) AS contrib"
+            f" CAST(sum(CAST(round(r.pr / d.outdeg, 12)"
+            f" AS DECIMAL(28,12))) AS DOUBLE) AS contrib"
             f" FROM edges e JOIN r{t - 1} r ON r.node = e.src"
             f" JOIN deg d ON d.dnode = e.src GROUP BY e.dst)"
         )
@@ -3059,7 +3060,9 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, n_chunk_tokens int, chunk_text string")
     class Chunk20:
         def eval(self, text: str):
-            s = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+            if text is None:
+                return  # SQL semantics: NULL text chunks to no rows
+            s = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
             toks = s.split(" ")
             for i in range(0, len(toks), 20):
                 piece = toks[i:i + 20]

@@ -116,9 +116,15 @@ def read_snapshot(
     """Read the table AS OF ``version`` (default: latest). The file list
     is resolved HERE, once — the returned DataFrame keeps seeing exactly
     this snapshot no matter what is committed afterwards."""
-    v = latest_version(root) if version is None else version
-    if v == 0:
+    latest = latest_version(root)
+    v = latest if version is None else version
+    if latest == 0:
         raise ValueError(f"snapshot store {root!r} has no commits")
+    if not (1 <= v <= latest) or not os.path.exists(_manifest_path(root, v)):
+        raise ValueError(
+            f"snapshot store {root!r} has no version {v} "
+            f"(latest is {latest}; earlier versions may be expired)"
+        )
     groups = _read_manifest(root, v)
     return spark.read.parquet(
         *[os.path.join(root, "data", g) for g in groups]
