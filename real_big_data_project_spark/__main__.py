@@ -158,6 +158,22 @@ def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> dict:
             "plan": plan}
 
 
+def cmd_query(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Run any catalog query by name — every operator in CATALOG.md is
+    reachable from the command line, not just the ingest/bars flows.
+    The collect is display-bounded by --limit (the DataFrame itself is
+    lazy; the limit applies before any rows reach the driver)."""
+    from .plans import queries_map
+
+    qmap = queries_map()
+    if args.query not in qmap:
+        raise SystemExit(f"unknown query {args.query!r}; see CATALOG.md")
+    df = qmap[args.query](spark, args.sf_dir).limit(args.limit)
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    return {"cmd": "query", "query": args.query, "sf_dir": args.sf_dir,
+            "n_rows": len(rows), "rows": rows}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -196,6 +212,15 @@ def build_parser() -> argparse.ArgumentParser:
     dk.add_argument("--keys", required=True,
                     help="comma-separated key values")
 
+    qr = sub.add_parser("query",
+                        help="run a catalog query by name, print rows")
+    qr.add_argument("query")
+    qr.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.001"),
+                    dest="sf_dir")
+    qr.add_argument("--limit", type=int, default=20)
+
     ex = sub.add_parser("explain",
                         help="print a catalog query's physical plan")
     ex.add_argument("query")
@@ -213,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("rbds-cli")
     fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
           "compact": cmd_compact, "delete-keys": cmd_delete_keys,
-          "explain": cmd_explain}[args.cmd]
+          "explain": cmd_explain, "query": cmd_query}[args.cmd]
     print(json.dumps(fn(spark, args)))
     return 0
 

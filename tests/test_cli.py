@@ -118,3 +118,16 @@ def test_cli_explain_emits_plan(capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["query"] == "q_topk"
     assert "TakeOrderedAndProject" in out["plan"]
+
+
+def test_cli_query_runs_catalog_entry(capsys):
+    import json as _json
+
+    from real_big_data_project_spark.__main__ import main
+
+    rc = main(["query", "q_counts", "--limit", "5"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "q_counts"
+    assert out["n_rows"] >= 1
+    assert isinstance(out["rows"], list)
