@@ -286,3 +286,38 @@ def test_longest_streaks_islands(spark):
     assert got[1].n_streaks == 2
     assert got[1].n_flagged == 5
     assert 2 not in got
+
+
+def test_global_running_sum_exact_without_exchange_reuse(spark, sf_dir):
+    """Same hazard class as global_row_number: without the checkpoint
+    pin, the per-range sums and the base-offset branch could resolve
+    DIFFERENT sampled range partitionings when exchange reuse is off.
+    Pin the cumsum's exactness under the exposing config."""
+    from pyspark.sql import Window
+
+    from real_big_data_project_spark.operators.windows import global_running_sum
+    from real_big_data_project_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {
+            r.o_orderkey: r.cs
+            for r in global_running_sum(
+                orders, ["o_totalprice", "o_orderkey"],
+                "o_orderkey", out_col="cs", num_ranges=7,
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    w = (
+        Window.orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.o_orderkey: r.cs
+        for r in orders.withColumn("cs", F.sum("o_orderkey").over(w)).collect()
+    }
+    assert got == want
