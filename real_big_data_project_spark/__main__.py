@@ -239,7 +239,10 @@ def main(argv: list[str] | None = None) -> int:
     fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
           "compact": cmd_compact, "delete-keys": cmd_delete_keys,
           "explain": cmd_explain, "query": cmd_query}[args.cmd]
-    print(json.dumps(fn(spark, args)))
+    # default=str: catalog queries legitimately return date/timestamp/Decimal
+    # columns, which json can't encode natively (ADVICE r4 — cmd_query crashed
+    # on q_vwap_twap); stringifying matches cmd_sql/cmd_bars display semantics.
+    print(json.dumps(fn(spark, args), default=str))
     return 0
 
 

@@ -48,70 +48,14 @@ def register(name: str, oracle: str | None, description: str = "",
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of
 # ``queries()``, so exposure order is risk order, not registration order.
 # The priority prefix rotates each round: queries that already hold a green
-# driver row (CORRECTNESS_r02/r03, post-testdata-regeneration) are excluded
-# from the prefix so the sample reaches never-gated queries first.
-# Round 4 prefix = the 18 queries with no driver row on current-generation
-# testdata (q_sql_passthrough's only row is r01, pre-regeneration), then
-# round-4 additions.
+# driver row (union of CORRECTNESS_r02–r04 on current-generation testdata)
+# are dropped from the prefix so the sample reaches never-gated queries
+# first.  Round-5 prefix = the 12 queries that have never had a driver row
+# (VERDICT r4 Missing #1), then round-5 additions and any query whose
+# OUTPUT changed this round (a green r04 row does not certify new output),
+# then queries whose implementation was touched this round.
 _RISKIEST: tuple[str, ...] = (
-    # never driver-sampled on current testdata (VERDICT r3 item 1)
-    "q_sql_passthrough",  # the dashboard tab-3 surface
-    "q_approx_distinct",
-    "q_catalog_tables",
-    "q_corr_stats",
-    "q_cube",
-    "q_having_large_orders",
-    "q_percentiles",
-    "q_pivot_wide",
-    "q_quantile_bucket",
-    "q_rank_functions",
-    "q_scan_csv_quarantine",
-    "q_scd2_intervals",
-    "q_sessionize",
-    "q_snapshot_diff",
-    "q_streaming_stateful_pct",
-    "q_trend_slope",
-    "q_unpivot",
-    "q_value_histogram",
-    # round-4 additions — new operators go under the driver gate first
-    "q_ann_recall",
-    "q_multimodal_features",
-    "q_scan_mixed_dir",
-    "q_dedup_components_incremental",
-    "q_dedup_recall",
-    "q_ann_recall_ivf",
-    "q_incremental_ohlcv",
-    "q_merge_upsert",
-    "q_heavy_hitters",
-    "q_semantic_dedup",
-    "q_ann_recall_sq8",
-    "q_scan_jsonl",
-    "q_scan_orc",
-    "q_zorder_layout",
-    "q_span_dedup",
-    "q_linreg_train",
-    "q_gapfill_locf",
-    "q_ewma_daily",
-    "q_dq_expectations",
-    # round-4 continuation, riskiest first — the 50-query sample reaches
-    # position 50, so the subtlest cross-engine contracts (iterative
-    # float traces, rounding/parity disciplines, fixture-backed store
-    # reads, the EXISTS-pair rewrite) outrank conventional SQL shapes;
-    # the remainder rotates into the r5 sample.
-    "q_supplier_wait_fault",
-    "q_recursive_ancestry",
-    "q_pagerank",
-    "q_simjoin_prefix",
-    "q_time_travel",
-    "q_svm_train",
-    "q_token_budget_select",
-    "q_small_qty_revenue",
-    "q_min_price_supplier",
-    "q_market_share",
-    "q_vwap_twap",
-    "q_udtf_chunks",
-    "q_median_mode",
-    # below the 50-line on current counts — r5 rotation
+    # never driver-sampled (all pass the local replica gate)
     "q_grouping_sets",
     "q_idle_rich_customers",
     "q_order_count_distribution",
@@ -124,6 +68,14 @@ _RISKIEST: tuple[str, ...] = (
     "q_source_divergence",
     "q_zipf_fit",
     "q_variant_extract",
+    # round-5 additions — new operators go under the driver gate first
+    "q_dashboard_session",
+    "q_ann_recall_ivf",  # output changed: multi-probe recall at n_probe 1/2/4
+    # round-5 touched implementations — re-gate after the decimal-sum fix
+    "q_market_share",
+    "q_small_qty_revenue",
+    # everything after the prefix is already r04-green; family rank fills
+    # the remaining sample slots with re-verification of existing rows.
 )
 
 

@@ -14,21 +14,39 @@ aggregate; `NOT IN` → broadcast anti-join; scalar subquery → 1-row
 broadcast cross-join). The pairs passing the value-hash gate is the
 evidence that the rewrites are semantically exact.
 
-Float discipline (same contract as regression.py/clustering.py): any
-aggregate that feeds a COMPARISON or a RATIO is rounded (6 dp) before
-use, so engine-specific summation order cannot flip a boundary row;
-displayed money sums round to 2 dp.
+Float discipline (the vwap_twap_daily contract, applied after the r4
+ADVICE review): rounding AFTER a float sum is NOT order-independent —
+a 1-ulp summation-order divergence can flip a rounding boundary, and
+when the rounded sum feeds an argmax or a ratio it flips ROWS, not
+digits. So every money sum here quantizes PER-TERM to 6 dp (identical
+doubles in both engines) and sums as DECIMAL(28,6), which is exact in
+any order; only then does it round for display or compare for argmax.
+Thresholds derived from AVG still round 6 dp before comparison (the
+compared column is integral there, so no row sits within an ulp of the
+boundary).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import registry as R
 from .catalog import register
 
 _T = ("subquery",)
+
+_DEC = "decimal(28,6)"
+
+
+def _dec_term(term: Column) -> Column:
+    """Quantize a money term to 6 dp and cast to DECIMAL(28,6) so that
+    F.sum() over it is exact in any summation order (vwap pattern)."""
+    return F.round(term, 6).cast(_DEC)
+
+
+# The matching oracle-side spelling, used inside sum():
+#   CAST(round(<term>, 6) AS DECIMAL(28,6))
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +192,9 @@ def q_supplier_excl_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_small_qty_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice, 6)
+                               AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#2'
@@ -203,7 +223,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(thresh, li["l_partkey"] == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(_dec_term(F.col("l_extendedprice")))
+                     .cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -216,7 +237,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE), 2)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
@@ -231,10 +253,13 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q15 shape: the supplier(s) with maximum 1996 "
                 "revenue. The scalar MAX over the derived view becomes "
-                "a 1-row broadcast cross-join filter; revenue rounds "
-                "to 2 dp BEFORE the max so ties/argmax agree bit-for-"
-                "bit across engines. Shipdate predicate pushes to the "
-                "parquet scan.",
+                "a 1-row broadcast cross-join filter. Because the "
+                "revenue feeds an EQUALITY against its own max, the "
+                "sum is per-term-quantized DECIMAL (exact in any "
+                "order) — round-after-float-sum would let a 1-ulp "
+                "summation-order divergence flip argmax ROWS (r4 "
+                "ADVICE). Shipdate predicate pushes to the parquet "
+                "scan.",
     tags=_T,
 )
 def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,8 +269,11 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = R.load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("total_revenue")
+        F.round(
+            F.sum(_dec_term(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))).cast("double"),
+            2,
+        ).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -266,10 +294,14 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o.o_orderdate) AS o_year,
            round(
-             round(sum(CASE WHEN n2.n_name = 'NATION_5'
-                            THEN l.l_extendedprice * (1 - l.l_discount)
-                            ELSE 0 END), 2)
-             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+             CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount), 6)
+                                AS DECIMAL(28,6))
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount), 6)
+                        AS DECIMAL(28,6))) AS DOUBLE),
              6) AS mkt_share
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -287,7 +319,10 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(customer side filters through region, supplier side "
                 "labels the share) — both broadcast; only the "
                 "fact-side orders join shuffles. Numerator and "
-                "denominator round to 2 dp before the 6 dp ratio.",
+                "denominator are per-term-quantized DECIMAL sums "
+                "(order-exact) before the 6 dp ratio — a rounded float "
+                "sum on either side of a ratio is the same boundary "
+                "hazard as the argmax case (r4 ADVICE).",
     tags=_T,
 )
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +349,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), supp["s_nationkey"] == F.col("n2.n_nationkey")
     ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
 
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _dec_term(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(_DEC)
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(eu_cust), orders["o_custkey"] == eu_cust["c_custkey"])
@@ -323,9 +359,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
-                              .otherwise(F.lit(0.0))), 2)
-                / F.round(F.sum(vol), 2),
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                      .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -341,10 +377,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_promo_revenue",
     oracle="""
     SELECT round(
-             100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
-                               THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END), 2)
-             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(round(l.l_extendedprice
+                                              * (1 - l.l_discount), 6)
+                                   AS DECIMAL(28,6))
+                              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice
+                                   * (1 - l.l_discount), 6)
+                        AS DECIMAL(28,6))) AS DOUBLE),
              6) AS promo_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -354,7 +394,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q14 shape: PROMO parts' share of 1997 revenue. "
                 "One broadcast dim join, one scalar conditional-"
                 "aggregate ratio; shipdate range pushes to the scan. "
-                "Same 2-dp-before-ratio rounding discipline as "
+                "Same per-term-quantized DECIMAL-sum discipline as "
                 "q_market_share.",
     tags=_T,
 )
@@ -364,15 +404,16 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     part = R.load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _dec_term(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(_DEC)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .agg(
             F.round(
                 100.0
-                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol)
-                                .otherwise(F.lit(0.0))), 2)
-                / F.round(F.sum(vol), 2),
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("promo_pct")
         )
@@ -452,7 +493,8 @@ def q_supplier_wait_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_idle_rich_customers",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           round(CAST(sum(CAST(round(c.c_acctbal, 6) AS DECIMAL(28,6)))
+                      AS DOUBLE), 2) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT round(avg(c2.c_acctbal), 6) FROM customer c2
@@ -485,7 +527,8 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"),
-             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+             F.round(F.sum(_dec_term(F.col("c_acctbal"))).cast("double"), 2)
+             .alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
 
@@ -546,8 +589,10 @@ def q_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_profit_by_nation_year",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.01 * p.p_retailprice * l.l_quantity), 2) AS profit
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     - 0.01 * p.p_retailprice * l.l_quantity,
+                                     6) AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -582,6 +627,7 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nat), li["l_suppkey"] == supp_nat["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.round(F.sum(_dec_term(profit)).cast("double"), 2)
+             .alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
