@@ -1130,8 +1130,10 @@ def _sql_ivf_topk(probe_cte: str, out: str, k: int) -> str:
     ),
     probes1 AS (SELECT query_id, qv, probe_label FROM pranked WHERE prn <= 1),
     probes2 AS (SELECT query_id, qv, probe_label FROM pranked WHERE prn <= 2),
+    probes4 AS (SELECT query_id, qv, probe_label FROM pranked WHERE prn <= 4),
     {_sql_ivf_topk('probes1', 'top1', RECALL_K)},
     {_sql_ivf_topk('probes2', 'top2', RECALL_K)},
+    {_sql_ivf_topk('probes4', 'top4', RECALL_K)},
     brute AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, lv.vec_id AS neighbor_id,
@@ -1144,19 +1146,24 @@ def _sql_ivf_topk(probe_cte: str, out: str, k: int) -> str:
     SELECT b.query_id,
            CAST(count(*) AS BIGINT) AS n_true,
            round(CAST(count(t1.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p1,
-           round(CAST(count(t2.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p2
+           round(CAST(count(t2.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p2,
+           round(CAST(count(t4.neighbor_id) AS DOUBLE) / count(*), 5) AS recall_p4
     FROM brute b
     LEFT JOIN top1 t1 ON b.query_id = t1.query_id AND b.neighbor_id = t1.neighbor_id
     LEFT JOIN top2 t2 ON b.query_id = t2.query_id AND b.neighbor_id = t2.neighbor_id
+    LEFT JOIN top4 t4 ON b.query_id = t4.query_id AND b.neighbor_id = t4.neighbor_id
     GROUP BY b.query_id
     ORDER BY b.query_id
     """,
     description="IVF recall@10 MEASURED (completes the q_ann_recall story "
                 "for the data-driven index): per-query recall of the "
                 "k-means inverted-list scan vs exact brute force, probing "
-                "1 vs 2 nearest centroids. Work per query is "
-                "n_probe × |corpus|/n_lists; the recall join is "
-                "output-sized.",
+                "1 vs 2 vs 4 nearest centroids — the standard IVF "
+                "recall/latency trade (r4 VERDICT item 3). Work per query "
+                "is n_probe × |corpus|/n_lists; the recall join is "
+                "output-sized. With n_lists = 4, n_probe = 4 scans every "
+                "list, so recall_p4 = 1.0 exactly — the oracle proves the "
+                "multi-probe scan loses nothing but the skipped lists.",
     tags=("datapipe",),
 )
 def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,15 +1174,19 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("cluster").alias("label")
     )
     brute = SIM.ann_brute_topk(emb, RECALL_QUERY_IDS, k=RECALL_K)
-    p1 = SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K, n_probe=1,
-                          lists=lists)
-    p2 = SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K, n_probe=2,
-                          lists=lists)
-    r1 = SIM.recall_at_k(p1, brute).withColumnRenamed("recall", "recall_p1")
-    r2 = SIM.recall_at_k(p2, brute).select(
-        "query_id", F.col("recall").alias("recall_p2")
-    )
-    return r1.join(r2, "query_id").orderBy("query_id")
+    out = SIM.recall_at_k(
+        SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K, n_probe=1,
+                         lists=lists),
+        brute,
+    ).withColumnRenamed("recall", "recall_p1")
+    for n_probe in (2, 4):
+        rn = SIM.recall_at_k(
+            SIM.ann_ivf_topk(emb, RECALL_QUERY_IDS, k=RECALL_K,
+                             n_probe=n_probe, lists=lists),
+            brute,
+        ).select("query_id", F.col("recall").alias(f"recall_p{n_probe}"))
+        out = out.join(rn, "query_id")
+    return out.orderBy("query_id")
 
 
 @register(
