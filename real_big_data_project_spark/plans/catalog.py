@@ -47,35 +47,70 @@ def register(name: str, oracle: str | None, description: str = "",
 
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of
 # ``queries()``, so exposure order is risk order, not registration order.
-# The priority prefix rotates each round: queries that already hold a green
-# driver row (union of CORRECTNESS_r02–r04 on current-generation testdata)
-# are dropped from the prefix so the sample reaches never-gated queries
-# first.  Round-5 prefix = the 12 queries that have never had a driver row
-# (VERDICT r4 Missing #1), then round-5 additions and any query whose
-# OUTPUT changed this round (a green r04 row does not certify new output),
-# then queries whose implementation was touched this round.
+# The priority prefix rotates each round: new/changed queries lead (a green
+# prior-round row does not certify new output), then the LEAST-recently
+# gated queries, so every catalog entry is periodically re-proven on
+# current-generation testdata.  Round-6 prefix = the round-6 addition
+# (`q_dashboard_session`, the tab-1 composite), then the 49 queries whose
+# only green driver row is r02-era (computed from the CORRECTNESS_r01–r05
+# union) — exactly filling the 50 sample slots.  `q_approx_distinct` keeps
+# its rows-only r04 row (that is its maximum achievable check — it IS the
+# approximate operator) and is not re-rotated.
 _RISKIEST: tuple[str, ...] = (
-    # never driver-sampled (all pass the local replica gate)
-    "q_grouping_sets",
-    "q_idle_rich_customers",
-    "q_order_count_distribution",
-    "q_supplier_excl_count",
-    "q_top_revenue_supplier",
-    "q_qualified_suppliers",
-    "q_promo_revenue",
-    "q_profit_by_nation_year",
-    "q_up_streaks",
-    "q_source_divergence",
-    "q_zipf_fit",
-    "q_variant_extract",
-    # round-5 additions — new operators go under the driver gate first
+    # round-6 addition — new operators go under the driver gate first
     "q_dashboard_session",
-    "q_ann_recall_ivf",  # output changed: multi-probe recall at n_probe 1/2/4
-    # round-5 touched implementations — re-gate after the decimal-sum fix
-    "q_market_share",
-    "q_small_qty_revenue",
-    # everything after the prefix is already r04-green; family rank fills
-    # the remaining sample slots with re-verification of existing rows.
+    # stalest: latest green driver row is r02; re-gate oldest-first
+    "q_above_avg",
+    "q_anti_join_new_keys",
+    "q_array_ops",
+    "q_asof_join",
+    "q_broadcast_lookup",
+    "q_case_market_map",
+    "q_case_when_clamp",
+    "q_company_timeseries",
+    "q_counts",
+    "q_customer_revenue",
+    "q_daily_bars_fallback",
+    "q_daily_stats_table",
+    "q_dedup_keys",
+    "q_event_transitions",
+    "q_exists_late_orders",
+    "q_filter_outliers",
+    "q_filter_positive",
+    "q_first_last_per_group",
+    "q_fuzzy_match",
+    "q_group_count",
+    "q_intersect_except",
+    "q_interval_join",
+    "q_isin_resolve",
+    "q_join_distinct_orderby",
+    "q_json_extract",
+    "q_lag_pct_change",
+    "q_minmax_range",
+    "q_null_profile",
+    "q_ohlcv_daily",
+    "q_partition_prune",
+    "q_pipeline_e2e",
+    "q_prefix_normalize",
+    "q_pricing_summary",
+    "q_project_rename",
+    "q_range_window",
+    "q_regex_clean",
+    "q_regional_volume",
+    "q_rolling_bollinger",
+    "q_rollup",
+    "q_rowwise_stats",
+    "q_scan_csv",
+    "q_scan_parquet",
+    "q_scan_pickle",
+    "q_semi_join_orphans",
+    "q_surrogate_keys",
+    "q_tick_compression",
+    "q_topk",
+    "q_topk_per_group",
+    "q_union_all",
+    # everything after the prefix holds an r03+ green row; family rank
+    # fills any remaining sample slots with re-verification.
 )
 
 
@@ -92,6 +127,13 @@ def _family_rank(name: str, spec: QuerySpec) -> tuple[int, int]:
 
 def _ordered_specs() -> list[tuple[str, QuerySpec]]:
     _load_all()
+    # Phantom prefix entries fail loudly: a _RISKIEST name that no
+    # queries_* module registers would silently waste a gate slot.
+    missing = [n for n in _RISKIEST if n not in QUERIES]
+    if missing:
+        raise AssertionError(
+            f"_RISKIEST names not registered in QUERIES: {missing}"
+        )
     # sorted() is stable: within a family, registration order is kept.
     return sorted(QUERIES.items(), key=lambda kv: _family_rank(*kv))
 

@@ -3159,3 +3159,138 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("version")
+
+
+@register(
+    "q_dashboard_session",
+    oracle="""
+    WITH present AS (SELECT DISTINCT user_id FROM events),
+    selected AS (
+      SELECT c_custkey AS user_id, c_name AS name
+      FROM customer JOIN present ON c_custkey = present.user_id
+      ORDER BY c_name LIMIT 8
+    ),
+    rng AS (SELECT max(ts) AS end_ts FROM events),
+    ev AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value
+      FROM events e
+      JOIN selected s ON e.user_id = s.user_id
+      CROSS JOIN rng
+      WHERE e.ts >= rng.end_ts - INTERVAL 20 DAY
+    ),
+    daystocks AS (
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) AS high, min(value) AS low
+      FROM ev WHERE user_id % 2 = 0
+      GROUP BY user_id, cast(ts AS DATE)
+    ),
+    fallback AS (
+      SELECT user_id, cast(ts AS DATE) AS trade_date,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) AS high, min(value) AS low
+      FROM ev
+      WHERE user_id NOT IN (SELECT DISTINCT user_id FROM daystocks)
+      GROUP BY user_id, cast(ts AS DATE)
+    ),
+    bars AS (
+      SELECT user_id, trade_date, open, close, high, low,
+             'daystocks' AS src FROM daystocks
+      UNION ALL
+      SELECT user_id, trade_date, open, close, high, low,
+             'fallback' AS src FROM fallback
+    ),
+    t AS (
+      SELECT user_id, trade_date, open, close, high, low, src,
+             count(close) OVER w AS cnt,
+             avg(close) OVER w AS m,
+             stddev_samp(close) OVER w AS s
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY trade_date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT t.user_id, s.name, t.trade_date,
+           t.open, t.high, t.low, t.close, t.src,
+           round(CASE WHEN cnt >= 10 THEN m END, 6) AS boll_mean,
+           round(CASE WHEN cnt >= 10 THEN s END, 6) AS boll_std,
+           round(CASE WHEN cnt >= 10 THEN m + 2 * s END, 6) AS boll_upper,
+           round(CASE WHEN cnt >= 10 THEN m - 2 * s END, 6) AS boll_lower
+    FROM t JOIN selected s ON t.user_id = s.user_id
+    ORDER BY t.user_id, t.trade_date
+    """,
+    description="The tab-1 dashboard session, end-to-end in ONE lazy plan "
+                "(dashboard/tabs/tab1.py:180-300 + "
+                "dashboard/timescaledb_model.py:460-572): (1) company "
+                "list = customers that actually have tick data "
+                "(join-distinct, get_companies), the user picks the "
+                "first 8 alphabetically; (2) date range = max(ts) back "
+                "20 days (get_date_range / update_date_picker), applied "
+                "as a broadcast 1-row scalar join so the tick scan is "
+                "filtered before any aggregation; (3) daily bars with "
+                "the daystocks-else-resample fallback (get_company_data: "
+                "even user_ids have precomputed bars, the rest aggregate "
+                "raw ticks via anti-join + union); (4) Bollinger bands "
+                "(window 10, 2σ, NULL-until-full) over each series' "
+                "daily closes (calculate_bollinger_bands). Exercises "
+                "operator COMPOSITION: semi/anti joins, scalar-subquery "
+                "broadcast, single-shuffle OHLCV, union, then a chained "
+                "window — all lazily fused by Catalyst; only metadata "
+                "(8-row company pick, 1-row range) is broadcast.",
+)
+def q_dashboard_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.load_table(spark, sf_dir, "events")
+    cust = R.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    # (1) the dropdown: companies that have data, alphabetical, pick 8.
+    present = ev.select("user_id").distinct()
+    selected = (
+        cust.join(present, cust.c_custkey == present.user_id, "left_semi")
+        .orderBy("c_name")
+        .limit(8)
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name"))
+    )
+
+    # (2) date picker: [max(ts) - 20 days, max(ts)] as a 1-row broadcast.
+    rng = ev.agg(F.max("ts").alias("end_ts"))
+    ev_sel = (
+        ev.join(F.broadcast(selected.select("user_id")), "user_id", "left_semi")
+        .crossJoin(F.broadcast(rng))
+        .filter(F.col("ts") >= F.expr("end_ts - INTERVAL 20 DAYS"))
+        .withColumn("volume", (F.col("event_id") % 1000 + 1).cast("long"))
+    )
+
+    # (3) daily bars: precomputed daystocks (even user_ids) else fallback
+    # resample of raw ticks, found by anti-join, served as one union.
+    def bars(df: DataFrame) -> DataFrame:
+        return A.ohlcv_daily(
+            df, key="user_id", ts="ts", price="value", volume="volume",
+            day_alias="trade_date", tiebreak="event_id",
+        ).select("user_id", "trade_date", "open", "close", "high", "low")
+
+    daystocks = bars(ev_sel.filter(F.col("user_id") % 2 == 0))
+    covered = daystocks.select("user_id").distinct()
+    fallback = bars(J.anti_join_new_keys(ev_sel, covered, on=["user_id"]))
+    all_bars = (
+        daystocks.withColumn("src", F.lit("daystocks"))
+        .unionByName(fallback.withColumn("src", F.lit("fallback")))
+    )
+
+    # (4) Bollinger over the daily closes (window 10, 2 std, NULL-until-full).
+    boll = W.rolling_bollinger(
+        all_bars, key="user_id", ts="trade_date", price="close",
+        window_size=10, num_std=2.0,
+    )
+    return (
+        boll.join(F.broadcast(selected), "user_id", "inner")
+        .select(
+            "user_id", "name", "trade_date",
+            "open", "high", "low", "close", "src",
+            F.round("boll_mean", 6).alias("boll_mean"),
+            F.round("boll_std", 6).alias("boll_std"),
+            F.round("boll_upper", 6).alias("boll_upper"),
+            F.round("boll_lower", 6).alias("boll_lower"),
+        )
+        .orderBy("user_id", "trade_date")
+    )
