@@ -98,3 +98,35 @@ def kmeans_assign(
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )
+
+
+def ensure_kmeans_lists_fixture(
+    spark,
+    sf_dir: str,
+    k: int,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k-means inverted-list assignment, MATERIALIZED once per
+    (testdata generation, k, n_assign) under ``_artifacts/`` — a real IVF
+    index is built offline and stored, not re-clustered per query
+    (VERDICT r5 item 8's fixture pattern). Deterministic seeds make the
+    stored assignment identical to a live ``kmeans_assign`` run, so
+    oracles that recompute the clustering still agree bit-for-bit. Keyed
+    by ``fixture_tag(sf_dir)``: a testdata regeneration invalidates it."""
+    import os
+
+    from ..sources.csv_source import ARTIFACTS
+    from ..sources.registry import fixture_tag, load_table
+
+    out = os.path.join(
+        ARTIFACTS,
+        f"ivf_lists_{fixture_tag(sf_dir)}_k{k}_a{n_assign}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        kmeans_assign(
+            emb, k=k, n_assign=n_assign, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cluster").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -552,3 +552,102 @@ def ann_sq8_topk(
         F.transform("q", lambda x: x.cast("double")).alias("embedding"),
     )
     return ann_brute_topk(qz, query_ids, k=k)
+
+
+def ensure_brute_topk_fixture(
+    spark,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact ground-truth top-k, MATERIALIZED once per (testdata
+    generation, query set, k) under ``_artifacts/`` and read back as
+    parquet afterwards — the offline-eval shape: recall measurement
+    queries (q_ann_recall / _ivf / _sq8 share one truth set) should
+    price only the approximate scan under test, not a fresh brute-force
+    recompute per run (VERDICT r5 item 8). Keyed by
+    ``fixture_tag(sf_dir)`` (stat signature of every input file), so a
+    driver regeneration of the testdata invalidates the cache instead of
+    serving stale neighbors."""
+    import hashlib
+    import os
+
+    from ..sources.csv_source import ARTIFACTS
+    from ..sources.registry import fixture_tag, load_table
+
+    sig = hashlib.sha1(
+        ("|".join(map(str, sorted(query_ids))) + f"|k={k}|{id_col}|{vec_col}")
+        .encode()
+    ).hexdigest()[:10]
+    out = os.path.join(ARTIFACTS, f"ann_brute_{fixture_tag(sf_dir)}_{sig}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ann_brute_topk(
+            emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def ann_ivf_topk_multi(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+    lists: DataFrame | None = None,
+    pin_lists: bool = True,
+) -> dict[int, DataFrame]:
+    """IVF top-k at SEVERAL probe settings from ONE corpus scan.
+
+    A scan at max(n_probes) covers every candidate any smaller setting
+    would see; each candidate carries the rank of the probe that found it
+    (probe_rank), so the n_probe=p result is exactly the max-probe
+    candidate set filtered to probe_rank <= p, re-ranked. Recall sweeps
+    (q_ann_recall_ivf) therefore price ONE inverted-list scan + one
+    centroid aggregate instead of one per setting — the scored candidate
+    frame (|queries| x n_probe x |corpus|/n_lists rows) is pinned so the
+    per-setting top-k branches don't re-execute the scan."""
+    p_max = max(n_probes)
+    vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
+    if lists is not None and pin_lists:
+        # Only worth a checkpoint when `lists` carries expensive lineage
+        # (a live k-means); pass pin_lists=False for a stored assignment —
+        # re-reading parquet beats materializing a checkpoint.
+        vecs = vecs.localCheckpoint(eager=False)
+    cents = _centroids(vecs)
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= p_max)
+        .select("query_id", "qv", "probe_rank",
+                F.col("label").alias("probe_label"))
+    )
+    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    scored = (
+        vecs.join(
+            F.broadcast(probes),
+            (F.col("label") == F.col("probe_label"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", "probe_rank",
+                F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+        .localCheckpoint(eager=False)  # candidate-sized; fans out per setting
+    )
+    return {
+        p: _topk_per_query(
+            scored.filter(F.col("probe_rank") <= p).drop("probe_rank"), k
+        )
+        for p in n_probes
+    }
