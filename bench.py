@@ -125,7 +125,7 @@ def main() -> int:
         if os.environ.get("SPARK_GRAFT_FRESH_TOP5", "1") != "0"
         else {}
     )
-    print(json.dumps({
+    payload = {
         "metric": "catalog_total_wall",
         "value": round(total, 4),
         "unit": "sec",
@@ -133,7 +133,20 @@ def main() -> int:
         "failed": failed,
         "fresh_top5": fresh,
         "sf": _sf_from_dir(sf_dir),
-    }))
+    }
+    # The driver truncates the stdout line to a 2000-char tail, losing the
+    # first half of the per-query alphabet; persist the FULL result so
+    # cross-round per-query comparison reads a committed file instead
+    # (VERDICT r5 item 3).
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_artifacts")
+        os.makedirs(art, exist_ok=True)
+        with open(os.path.join(art, "bench_full.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write bench_full.json: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
     return 0
 
 

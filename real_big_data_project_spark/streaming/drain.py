@@ -101,10 +101,16 @@ def warm_streaming(spark) -> None:
         def stream():
             return spark.readStream.schema("ts timestamp, id bigint").parquet(src)
 
-        # windowed aggregation (state store save/restore)
+        # windowed aggregation (state store save/restore) — includes a
+        # min_by-on-struct aggregate so the ObjectHashAggregate streaming
+        # path (sort-fallback buffers, a different exec than count/sum)
+        # is also warmed: measured, the first complete-mode object
+        # aggregate pays ~1.5 s the second one doesn't.
         agg = (
             stream().withWatermark("ts", "1 minute")
-            .groupBy(F.window("ts", "1 minute")).agg(F.count("*").alias("n"))
+            .groupBy(F.window("ts", "1 minute"))
+            .agg(F.count("*").alias("n"),
+                 F.min_by("id", F.struct("ts", "id")).alias("first_id"))
         )
         drain_available_now(agg, "complete", "warm_agg").collect()
         # watermarked dedup (key store)
