@@ -21,9 +21,11 @@ when the rounded sum feeds an argmax or a ratio it flips ROWS, not
 digits. So every money sum here quantizes PER-TERM to 6 dp (identical
 doubles in both engines) and sums as DECIMAL(28,6), which is exact in
 any order; only then does it round for display or compare for argmax.
-Thresholds derived from AVG still round 6 dp before comparison (the
-compared column is integral there, so no row sits within an ulp of the
-boundary).
+Thresholds derived from AVG still round 6 dp before comparison: the
+compared columns sit on a coarse value grid — integral quantities or
+2-dp money (q_idle_rich_customers compares c_acctbal) — far wider than
+the 6-dp threshold rounding, so no row can sit within an ulp of the
+boundary.
 """
 
 from __future__ import annotations

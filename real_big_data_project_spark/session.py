@@ -48,11 +48,41 @@ def get_spark(app_name: str = "real_big_data_project_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
+    require_min_spark(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
+MIN_SPARK = (4, 0)
+
+# Engine surfaces with a hard Spark-4 dependency (the README compatibility
+# matrix mirrors this list): WITH RECURSIVE (q_recursive_ancestry), the
+# VARIANT type (q_variant_extract), Python @udtf + LATERAL
+# (q_udtf_chunks), timestamp_ntz-first semantics, and the
+# parquet-nanos-as-long legacy conf the testdata reader relies on.
+
+
+def require_min_spark(spark: SparkSession) -> None:
+    """Fail fast with an actionable error on unsupported Spark versions
+    instead of leaking raw AnalysisExceptions from Spark-4-only surfaces
+    (recursive CTEs, VARIANT, @udtf, ntz-first timestamps)."""
+    ver = tuple(int(x) for x in spark.version.split(".")[:2])
+    if ver < MIN_SPARK:
+        raise RuntimeError(
+            f"real_big_data_project_spark requires Spark "
+            f">= {'.'.join(map(str, MIN_SPARK))} (found {spark.version}): "
+            "the engine uses recursive CTEs, the VARIANT type, Python "
+            "UDTFs and timestamp_ntz-first semantics that older releases "
+            "reject with opaque AnalysisExceptions. See README "
+            "'Spark compatibility'."
+        )
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Apply runtime-settable confs the engine depends on to a session we
-    did not build (e.g. the verification driver's)."""
+    did not build (e.g. the verification driver's), and pin the minimum
+    Spark version while we're at it — this is the one hook every entry
+    path (our own get_spark, the grading driver via sources.registry,
+    the streaming readers) funnels through."""
+    require_min_spark(spark)
     spark.conf.set(NANOS_AS_LONG, "true")

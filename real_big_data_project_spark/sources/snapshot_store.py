@@ -61,6 +61,17 @@ def latest_version(root: str) -> int:
 
 
 def _commit(root: str, version: int, groups: list[str]) -> int:
+    """CONCURRENCY CONTRACT — single writer assumed. Two writers that
+    both read version v will both build manifest v+1: the second manifest
+    write overwrites the first, the second pointer flip wins, and the
+    loser's rows are silently absent from v+1 (its file group stays on
+    disk, unreferenced and un-torn — nothing is ever corrupted, the
+    losing UPDATE is lost). This is exactly the anomaly optimistic table
+    formats close with a compare-and-swap on the pointer, which a plain
+    filesystem cannot express atomically; multi-writer deployments must
+    front commits with a lock/catalog that arbitrates the flip.
+    tests/test_sinks.py::test_snapshot_store_concurrent_append_contract
+    pins the observable behavior (consistent table, no torn files)."""
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     new_v = version + 1
     with open(_manifest_path(root, new_v), "w") as f:

@@ -432,3 +432,68 @@ def test_snapshot_store_expire_edge_cases(spark, tmp_path):
     # keep_from below the valid floor clamps to 1 instead of crashing
     assert expire_snapshots(root, keep_from=0) == []
     assert [r.k for r in read_snapshot(spark, root).collect()] == [1]
+
+
+def test_snapshot_store_concurrent_append_contract(spark, tmp_path):
+    """Race two snapshot_append writers (VERDICT r5 item 6). The
+    documented single-writer contract (_commit docstring): whatever
+    interleaving happens, the table must stay CONSISTENT — the final
+    pointer names a readable manifest whose groups are all intact
+    parquet, no torn state — and the losing writer's rows may be absent
+    from the latest version but its files are never corrupted. With a
+    barrier forcing both writers to read the same base version, the
+    committed table equals base + exactly one (last committer wins) or
+    both appends (sequential interleave); never a mix of partial rows."""
+    import threading
+
+    from real_big_data_project_spark.sources.snapshot_store import (
+        latest_version, read_snapshot, snapshot_append,
+    )
+
+    root = str(tmp_path / "race_store")
+    snapshot_append(spark.createDataFrame([(0, "base")], "k int, who string"),
+                    root)
+    assert latest_version(root) == 1
+
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(tag: str) -> None:
+        df = spark.createDataFrame(
+            [(i, tag) for i in range(1, 11)], "k int, who string"
+        )
+        try:
+            barrier.wait(timeout=60)
+            snapshot_append(df, root)
+        except Exception as exc:  # surfaces in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,))
+               for t in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    # The pointer names a fully readable snapshot (no torn manifest, no
+    # half-written group): reading it must succeed and contain the base
+    # row plus ONLY complete appends (0, 10 or 20 extra rows — a commit
+    # is all-or-nothing, never partially visible).
+    v = latest_version(root)
+    assert v >= 2
+    rows = read_snapshot(spark, root).collect()
+    base = [r for r in rows if r.who == "base"]
+    assert len(base) == 1
+    per_writer = {
+        tag: len([r for r in rows if r.who == tag])
+        for tag in ("alpha", "beta")
+    }
+    for tag, n in per_writer.items():
+        assert n in (0, 10), f"{tag}: partial commit visible ({n} rows)"
+    assert sum(per_writer.values()) >= 10  # at least one commit survives
+    # Every data group on disk is intact parquet, including a losing
+    # writer's unreferenced group (files are never torn by a lost race).
+    data_dir = os.path.join(root, "data")
+    for g in sorted(os.listdir(data_dir)):
+        spark.read.parquet(os.path.join(data_dir, g)).collect()

@@ -76,3 +76,20 @@ def test_tags_kv_set_get_overwrite_delete_compact(spark):
     assert {(r.name, r.value, r.seq) for r in log} == {("schema_version", "2", 1)}
     assert TG.get_tag(spark, "schema_version", table=tbl) == "2"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_min_spark_version_pin(spark):
+    # The running session (4.x) passes; a sub-4.0 version string raises
+    # the actionable error instead of leaking raw AnalysisExceptions
+    # from Spark-4-only surfaces (VERDICT r5 item 5).
+    import pytest as _pytest
+
+    from real_big_data_project_spark.session import require_min_spark
+
+    require_min_spark(spark)
+
+    class _Fake:
+        version = "3.5.3"
+
+    with _pytest.raises(RuntimeError, match="requires Spark >= 4.0"):
+        require_min_spark(_Fake())

@@ -1,40 +1,79 @@
-"""Opt-in robustness sweep (slow; not part of the default gate):
+"""Adversarial-session robustness sweep.
 
-    SPARK_GRAFT_STRESS=1 python -m pytest tests/test_stress.py -q
-
-Re-runs every oracled catalog query under an ADVERSARIAL session — prime
+Re-runs catalog queries under an ADVERSARIAL session — prime
 shuffle-partition count (different float summation order / window
 partition boundaries than the dev default) and a UTC+14 session timezone
 — and requires the same bit-exact oracle match. This is the flake hunt
-for rounding-boundary and timezone bugs; the full catalog passed it at
-round-3 close (see PERF_NOTES.md).
+for rounding-boundary and timezone bugs.
+
+A ROTATING 20-query subset runs in the DEFAULT suite (VERDICT r5 item 4:
+the flake-hunter must not be opt-in only). The rotation key is the
+testdata generation signature (`fixture_tag`), so every driver
+regeneration of the parquet — which happens each round — selects a
+different deterministic subset, sweeping the whole catalog over a few
+rounds at ~30 s per run instead of the full sweep's minutes.
+
+The FULL catalog sweep plus the planted-skew guard stays opt-in:
+
+    SPARK_GRAFT_STRESS=1 python -m pytest tests/test_stress.py -q
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_STRESS"),
-    reason="set SPARK_GRAFT_STRESS=1 to run the adversarial sweep",
-)
+DEFAULT_SUBSET_SIZE = 20
+
+
+def _default_subset(names: list[str], sf: str) -> set[str]:
+    from real_big_data_project_spark.sources.registry import fixture_tag
+
+    tag = fixture_tag(sf)
+    ranked = sorted(
+        names,
+        key=lambda n: hashlib.sha1(f"{tag}|{n}".encode()).hexdigest(),
+    )
+    return set(ranked[:DEFAULT_SUBSET_SIZE])
+
+
+_ADVERSARIAL_CONFS = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.session.timeZone": "Pacific/Kiritimati",
+}
 
 
 @pytest.fixture(scope="module")
 def adversarial_spark():
     from pyspark.sql import SparkSession
 
-    s = (
+    # getOrCreate may reuse the suite's SHARED session and apply the
+    # adversarial confs to it — that's the point while this module runs,
+    # but they must not leak into later test modules: snapshot the
+    # pre-existing values BEFORE the builder touches them.
+    active = SparkSession.getActiveSession()
+    restore = (
+        {k: active.conf.get(k, None) for k in _ADVERSARIAL_CONFS}
+        if active is not None else {}
+    )
+    builder = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "7")
-        .config("spark.sql.session.timeZone", "Pacific/Kiritimati")
         .config("spark.ui.enabled", "false")
         .appName("rbds-stress")
-        .getOrCreate()
     )
+    for k, v in _ADVERSARIAL_CONFS.items():
+        builder = builder.config(k, v)
+    s = builder.getOrCreate()
+    for k, v in _ADVERSARIAL_CONFS.items():
+        s.conf.set(k, v)  # reused sessions don't re-apply builder confs
     yield s
+    for k, v in restore.items():
+        if v is None:
+            s.conf.unset(k)
+        else:
+            s.conf.set(k, v)
 
 
 def _names():
@@ -48,6 +87,10 @@ def test_query_stable_under_adversarial_session(adversarial_spark, name):
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if not os.environ.get("SPARK_GRAFT_STRESS"):
+        if name not in _default_subset(_names(), sf):
+            pytest.skip("not in this generation's default adversarial "
+                        "subset (SPARK_GRAFT_STRESS=1 runs the full sweep)")
     res = check_query(adversarial_spark, name, sf)
     assert res.ok and res.values_bit_equal, f"{name}: {res.detail}"
 
@@ -71,6 +114,10 @@ def _degenerate_corpus(spark, n=2000, hot_mod=10, hot_lt=3):
     )
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_STRESS"),
+    reason="planted-skew guard is part of the opt-in full sweep",
+)
 def test_skewed_corpus_band_joins_stay_bounded(adversarial_spark):
     """Planted degenerate corpus: max_bucket must keep candidate counts
     O(n) (star edges, not b² all-pairs) within a time budget, while the

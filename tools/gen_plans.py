@@ -16,6 +16,11 @@ SF_DIR = "/root/testdata/sf0.01"
 HEADLINERS = {
     "q_partition_prune": "date predicate reaches the scan (PushedFilters), "
                          "2-column ReadSchema — row-group min/max skipping",
+    "q_dashboard_session": "the tab-1 composite fuses company pick, "
+                           "1-row date-range scalar, bars-with-fallback "
+                           "and Bollinger into one lazy plan: dims and "
+                           "scalars broadcast, no CartesianProduct, the "
+                           "tick scan filtered before any aggregate",
     "q_broadcast_lookup": "dimension lookup is a BroadcastHashJoin; the fact "
                           "side never shuffles",
     "q_ohlcv_daily": "single Exchange with map-side partial HashAggregate "
