@@ -363,6 +363,51 @@ DEDUP_RECALL_THR = 0.6
 DEDUP_RECALL_MAX_PROBES = 300
 
 
+def _ensure_recall_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard ground truth for the blocking-recall measurement,
+    MATERIALIZED once per testdata generation (the ANN fixture pattern,
+    VERDICT r5 item 8 generalized): ~300 probe shingle-sets broadcast
+    against the corpus is a linear but heavy sweep (~3.6M array
+    intersections at sf0.1) that exists only to GRADE the band join —
+    the recall query should price the operator under test, not its
+    grader. Keyed by fixture_tag, so regenerated testdata rebuilds it."""
+    import os
+
+    from ..sources.csv_source import ARTIFACTS
+    from ..sources.registry import fixture_tag
+
+    out = os.path.join(ARTIFACTS, f"dedup_truth_{fixture_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = R.load_table(spark, sf_dir, "documents")
+        corp = CP.with_near_duplicates(docs)
+        sets = DT.shingle_sets(corp, 3)
+        mod_df = corp.agg(
+            F.greatest(
+                F.lit(DEDUP_RECALL_MOD).cast("long"),
+                F.expr(f"count(*) div {DEDUP_RECALL_MAX_PROBES}"),
+            ).alias("pmod")
+        )
+        probes = (
+            sets.crossJoin(F.broadcast(mod_df))
+            .filter(F.col("doc_id") % F.col("pmod") == 0)
+            .select(F.col("doc_id").alias("probe_id"),
+                    F.col("shingles").alias("shp"))
+        )
+        jac = (
+            F.size(F.array_intersect("shingles", "shp")).cast("double")
+            / F.size(F.array_union("shingles", "shp"))
+        )
+        truth = (
+            sets.crossJoin(F.broadcast(probes))
+            .filter(F.col("doc_id") != F.col("probe_id"))
+            .filter(jac >= DEDUP_RECALL_THR)
+            .select("probe_id", F.col("doc_id").alias("partner_id"))
+        )
+        truth.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+
 @register(
     "q_dedup_recall",
     oracle=f"""
@@ -412,7 +457,7 @@ DEDUP_RECALL_MAX_PROBES = 300
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     corp = CP.with_near_duplicates(docs)
-    sets = DT.shingle_sets(corp, 3)
+    truth = _ensure_recall_truth(spark, sf_dir)
     # scale-aware probe stride (see DEDUP_RECALL_MAX_PROBES): a 1-row
     # broadcast, so the stride stays lazy/plan-side in both engines
     mod_df = corp.agg(
@@ -420,22 +465,6 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DEDUP_RECALL_MOD).cast("long"),
             F.expr(f"count(*) div {DEDUP_RECALL_MAX_PROBES}"),
         ).alias("pmod")
-    )
-    probes = (
-        sets.crossJoin(F.broadcast(mod_df))
-        .filter(F.col("doc_id") % F.col("pmod") == 0)
-        .select(F.col("doc_id").alias("probe_id"),
-                F.col("shingles").alias("shp"))
-    )
-    jac = (
-        F.size(F.array_intersect("shingles", "shp")).cast("double")
-        / F.size(F.array_union("shingles", "shp"))
-    )
-    truth = (
-        sets.crossJoin(F.broadcast(probes))
-        .filter(F.col("doc_id") != F.col("probe_id"))
-        .filter(jac >= DEDUP_RECALL_THR)
-        .select("probe_id", F.col("doc_id").alias("partner_id"))
     )
     bands = DT.minhash_band_keys(DT.minhash_components(corp, 3))
     pb = (
