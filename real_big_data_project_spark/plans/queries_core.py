@@ -3168,7 +3168,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected AS (
       SELECT c_custkey AS user_id, c_name AS name
       FROM customer JOIN present ON c_custkey = present.user_id
-      ORDER BY c_name LIMIT 8
+      ORDER BY c_name, c_custkey LIMIT 8
     ),
     rng AS (SELECT max(ts) AS end_ts FROM events),
     ev AS (
@@ -3247,7 +3247,9 @@ def q_dashboard_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = ev.select("user_id").distinct()
     selected = (
         cust.join(present, cust.c_custkey == present.user_id, "left_semi")
-        .orderBy("c_name")
+        # Tie-break on the key: synthetic scale-ups replicate names, and an
+        # ORDER BY on a non-unique column under LIMIT is engine-dependent.
+        .orderBy("c_name", "c_custkey")
         .limit(8)
         .select(F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name"))
     )
