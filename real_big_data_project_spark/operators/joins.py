@@ -71,7 +71,7 @@ def surrogate_keys(
     )
     # Global row_number: the ordering window has no partition, which funnels
     # the NEW rows (only) through one task. Dimensions are small by
-    # construction (int16 id space); never use this on a fact table.
+    # construction (dense int32 id space); never use this on a fact table.
     w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order])
     numbered = new_rows.withColumn("_rn", F.row_number().over(w))
     if base is not None:

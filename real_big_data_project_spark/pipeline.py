@@ -13,7 +13,8 @@ Spark's execution model:
                                         │
                                         └─filter──► compressed stocks
 
-Scale posture: the companies dimension is tiny (int16 id space) and always
+Scale posture: the companies dimension is small (dense int32 id space,
+widened from the reference int16 after the sf10 sweep) and always
 broadcast; the fact path is shuffle-free until the single OHLCV
 aggregation; tick compression is one window pass partitioned by cid.
 Writing `stocks`/`daystocks` partitioned by date gives the hypertable
@@ -141,7 +142,7 @@ def build_stocks(ticks: DataFrame, companies: DataFrame,
         ticks.join(dim, on="norm_symbol", how="inner")
         .select(
             F.col("ts").alias("date"),
-            F.col("cid").cast("short").alias("cid"),
+            F.col("cid").cast("int").alias("cid"),
             F.col("value").cast("float").alias("value"),
             F.col("volume").cast("float").alias("volume"),
             *[F.col(c) for c in (extra_cols or [])],

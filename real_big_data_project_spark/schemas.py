@@ -1,9 +1,11 @@
 """Domain data model: schemas + seed dimension data.
 
 Mirrors the reference DDL (etl/timescaledb_model.py:218-294) with Spark
-StructTypes. Narrow types are kept deliberately (SMALLINT→ShortType,
-FLOAT4→FloatType) for schema fidelity and scan-width economy at 100 TB —
-see SURVEY.md §1.2.
+StructTypes. Narrow types are kept deliberately (FLOAT4→FloatType,
+markets SMALLINT→ShortType) for schema fidelity and scan-width economy
+at 100 TB — see SURVEY.md §1.2 — with ONE deviation: company/cid ids are
+int32, not the reference's int16, after the sf10 scale sweep overflowed
+the 32k id ceiling (see COMPANIES_SCHEMA note).
 """
 
 from __future__ import annotations
@@ -34,7 +36,12 @@ MARKETS_SEED = [
 ]
 
 COMPANIES_SCHEMA = T.StructType([
-    T.StructField("id", T.ShortType(), False),
+    # Company id is deliberately ONE notch wider than the reference DDL's
+    # SMALLINT: the sf10 sweep hit 65k+ distinct companies and overflowed
+    # the int16 cast (ANSI CAST_OVERFLOW) — a dimension-id ceiling a
+    # 100 TB engine must not inherit. 2 bytes/row wider on the fact side;
+    # markets (`mid`, ≤100 rows by construction) keep SMALLINT fidelity.
+    T.StructField("id", T.IntegerType(), False),
     T.StructField("name", T.StringType(), True),
     T.StructField("mid", T.ShortType(), True),
     T.StructField("symbol", T.StringType(), True),
@@ -49,14 +56,14 @@ COMPANIES_SCHEMA = T.StructType([
 
 STOCKS_SCHEMA = T.StructType([
     T.StructField("date", T.TimestampType(), False),
-    T.StructField("cid", T.ShortType(), False),
+    T.StructField("cid", T.IntegerType(), False),
     T.StructField("value", T.FloatType(), True),
     T.StructField("volume", T.FloatType(), True),
 ])
 
 DAYSTOCKS_SCHEMA = T.StructType([
     T.StructField("date", T.TimestampType(), False),
-    T.StructField("cid", T.ShortType(), False),
+    T.StructField("cid", T.IntegerType(), False),
     T.StructField("open", T.FloatType(), True),
     T.StructField("close", T.FloatType(), True),
     T.StructField("high", T.FloatType(), True),

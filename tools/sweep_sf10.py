@@ -1,0 +1,139 @@
+"""Second-decade scale check: sf1.0 -> sf10 (100x the driver's sf0.1).
+
+The sf1.0 sweep (tools/sweep_sf1.py) proves bit-exactness and near-linear
+scaling one decade above the bench scale. This harness pushes the
+heaviest / worst-ratio plans one MORE decade (chain tools/make_sf1.py on
+_artifacts/sf1.0 to get _artifacts/sf10: 60 M lineitem, 10 M events,
+500 k documents) and records the time ratio, plus a DuckDB oracle check
+on the core shapes where the mirror stays affordable at 60 M rows.
+
+Policy difference from sweep_sf1: each (query, sf) leg runs an UNTIMED
+warm pass first (fixture ground-truth builds, shuffle-file reuse, JIT)
+then one timed pass, so the ratio prices the steady-state plan rather
+than one-time fixture construction. Ratios land in
+_artifacts/sweep_sf10.json; a healthy plan stays well under ~10.
+
+Deliberate skips (documented, same reasoning as the sf1.0 SWEEP_SKIP):
+q_simjoin_prefix (exact all-pairs op: work is linear in TRUE-PAIR count,
+which the replicated corpus inflates superlinearly by construction),
+q_dedup_recall (rebuilds planted ground truth per scale; the operator
+under test is covered via q_dedup_minhash_lsh), q_semantic_dedup's
+DuckDB mirror (quadratic; Spark side still timed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF1 = os.path.join(REPO, "_artifacts", "sf1.0")
+SF10 = os.path.join(REPO, "_artifacts", "sf10")
+OUT = os.path.join(REPO, "_artifacts", "sweep_sf10.json")
+
+# (query, oracle_at_sf10) — oracle only where the DuckDB mirror is
+# linear-ish at 60 M rows.
+PICKS: tuple[tuple[str, bool], ...] = (
+    # worst sf1.0-sweep ratios (x5-x9.4): do they hold a second decade?
+    ("q_ann_recall", False),
+    ("q_dedup_embedding", False),
+    ("q_knn_graph", False),
+    ("q_doc_fingerprint", False),
+    ("q_corpus_select", True),
+    ("q_datapipe_e2e", False),
+    ("q_token_budget_select", True),
+    ("q_pagerank", False),
+    # heavy dedup family
+    ("q_dedup_exact", True),
+    ("q_dedup_minhash_lsh", False),
+    ("q_dedup_ngram_jaccard", False),
+    ("q_dedup_simhash", False),
+    ("q_dedup_components", False),
+    ("q_semantic_dedup", False),
+    ("q_sequence_packing", True),
+    ("q_bm25", True),
+    # core OLAP headliners, oracled two decades up
+    ("q_ohlcv_daily", True),
+    ("q_join_distinct_orderby", True),
+    ("q_topk", True),
+    ("q_lag_pct_change", True),
+    ("q_rolling_bollinger", True),
+    ("q_first_last_per_group", True),
+    ("q_dashboard_session", True),
+    ("q_pipeline_e2e", False),
+    # decision-support shapes
+    ("q_top_revenue_supplier", True),
+    ("q_profit_by_nation_year", True),
+)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sweep-sf10")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "64g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from real_big_data_project_spark.plans import catalog as C
+    from real_big_data_project_spark.plans.oracle_check import check_query
+
+    C._load_all()
+    report: dict[str, dict] = {}
+    mismatches, errors, superlinear = [], [], []
+    for i, (name, want_oracle) in enumerate(PICKS):
+        spec = C.QUERIES[name]
+        row: dict = {}
+        try:
+            for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
+                spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
+                t0 = time.time()
+                n = spec.builder(spark, sf_dir).count()
+                row[key] = round(time.time() - t0, 2)
+                if key == "t_sf10":
+                    row["rows_sf10"] = n
+            row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
+            if want_oracle and spec.oracle is not None:
+                t0 = time.time()
+                res = check_query(spark, name, SF10)
+                row["oracle_s"] = round(time.time() - t0, 2)
+                row["ok"] = bool(res.ok)
+                row["bit_equal"] = bool(res.values_bit_equal)
+                if not res.ok:
+                    mismatches.append(name)
+                    row["detail"] = res.detail[:300]
+            if row["ratio"] > 15:
+                superlinear.append(name)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            errors.append(name)
+        report[name] = row
+        status = row.get("error") or (
+            "MISMATCH" if name in mismatches else "OK")
+        print(f"[{i + 1}/{len(PICKS)}] {name}: sf1.0 {row.get('t_sf1')}s "
+              f"sf10 {row.get('t_sf10')}s x{row.get('ratio')} {status}",
+              flush=True)
+
+    summary = {
+        "n": len(PICKS),
+        "mismatches": mismatches,
+        "errors": errors,
+        "superlinear_gt15x": superlinear,
+    }
+    with open(OUT, "w") as f:
+        json.dump({"summary": summary, "queries": report}, f, indent=1)
+    print(json.dumps(summary))
+    return 1 if (mismatches or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
