@@ -50,15 +50,22 @@ def register(name: str, oracle: str | None, description: str = "",
 # The priority prefix rotates each round: new/changed queries lead (a green
 # prior-round row does not certify new output), then the LEAST-recently
 # gated queries, so every catalog entry is periodically re-proven on
-# current-generation testdata.  Round-6 prefix = the round-6 addition
-# (`q_dashboard_session`, the tab-1 composite), then the 49 queries whose
-# only green driver row is r02-era (computed from the CORRECTNESS_r01–r05
-# union) — exactly filling the 50 sample slots.  `q_approx_distinct` keeps
+# current-generation testdata.  Round-6 prefix = the three queries whose
+# CODE changed this round (the new tab-1 composite plus the two sf10-sweep
+# remediations), then the 48 queries whose only green driver row is
+# r02-era (computed from the CORRECTNESS_r01–r05 union); 51 names — the
+# 51st falls past the 50-slot sample and simply re-gates next round.
+# `q_approx_distinct` keeps
 # its rows-only r04 row (that is its maximum achievable check — it IS the
 # approximate operator) and is not re-rotated.
 _RISKIEST: tuple[str, ...] = (
-    # round-6 addition — new operators go under the driver gate first
+    # round-6 additions / round-6 CODE CHANGES lead — a green prior-round
+    # row does not certify new output (pipeline: int32 company ids;
+    # token-budget: pinned-stats cumsum; dashboard: new composite +
+    # keyed tie-break)
     "q_dashboard_session",
+    "q_pipeline_e2e",
+    "q_token_budget_select",
     # stalest: latest green driver row is r02; re-gate oldest-first
     "q_above_avg",
     "q_anti_join_new_keys",
@@ -90,7 +97,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_null_profile",
     "q_ohlcv_daily",
     "q_partition_prune",
-    "q_pipeline_e2e",
     "q_prefix_normalize",
     "q_pricing_summary",
     "q_project_rename",
