@@ -194,3 +194,27 @@ def test_incremental_daystocks_equals_full_rebuild(spark, sf_dir):
 
     res = compare("incremental_daystocks", incr, full.toPandas())
     assert res.ok and res.values_bit_equal, res.detail
+
+
+def test_company_ids_beyond_int16(spark):
+    """Regression for the sf10-sweep CAST_OVERFLOW: the fact path must
+    carry company ids beyond the reference DDL's int16 ceiling (the
+    sweep hit 65k+ distinct companies; ids are int32 since round 6)."""
+    from real_big_data_project_spark.operators.joins import surrogate_keys
+
+    existing = spark.range(1).select(F.lit(65000).cast("int").alias("id"))
+    new = spark.createDataFrame(
+        [("SYM%04d" % i,) for i in range(600)], "norm_symbol string"
+    )
+    keyed = surrogate_keys(new, existing, id_col="id", order=["norm_symbol"])
+    companies = keyed.select(
+        "id", F.col("norm_symbol").alias("symbol")
+    )
+    ticks = spark.createDataFrame(
+        [("SYM0599", TS("2024-01-01 09:00:00"), 10.0, 5.0)],
+        "norm_symbol string, ts timestamp_ntz, value double, volume double",
+    )
+    stocks = P.build_stocks(ticks, companies)
+    row = stocks.collect()[0]
+    assert row.cid == 65600  # would have overflowed int16
+    assert dict(stocks.dtypes)["cid"] == "int"
