@@ -113,20 +113,18 @@ def ensure_kmeans_lists_fixture(
     index is built offline and stored, not re-clustered per query
     (VERDICT r5 item 8's fixture pattern). Deterministic seeds make the
     stored assignment identical to a live ``kmeans_assign`` run, so
-    oracles that recompute the clustering still agree bit-for-bit. Keyed
-    by ``fixture_tag(sf_dir)``: a testdata regeneration invalidates it."""
-    import os
+    oracles that recompute the clustering still agree bit-for-bit. Cached
+    via ``ensure_parquet_fixture`` (atomic publish; key folds in the
+    rounding constants the assignment depends on, so changing them
+    rebuilds instead of serving stale clusters)."""
+    from ..sources.registry import ensure_parquet_fixture, load_table
 
-    from ..sources.csv_source import ARTIFACTS
-    from ..sources.registry import fixture_tag, load_table
-
-    out = os.path.join(
-        ARTIFACTS,
-        f"ivf_lists_{fixture_tag(sf_dir)}_k{k}_a{n_assign}",
+    return ensure_parquet_fixture(
+        spark, "ivf_lists", sf_dir,
+        params=(f"k={k}|a={n_assign}|{id_col}|{vec_col}"
+                f"|dist_dp={DIST_ROUND}|cent_dp={CENTROID_ROUND}"),
+        build=lambda: kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=k, n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+        ).select(id_col, "cluster"),
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        kmeans_assign(
-            emb, k=k, n_assign=n_assign, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "cluster").write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)

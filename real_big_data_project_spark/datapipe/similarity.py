@@ -567,27 +567,21 @@ def ensure_brute_topk_fixture(
     parquet afterwards — the offline-eval shape: recall measurement
     queries (q_ann_recall / _ivf / _sq8 share one truth set) should
     price only the approximate scan under test, not a fresh brute-force
-    recompute per run (VERDICT r5 item 8). Keyed by
-    ``fixture_tag(sf_dir)`` (stat signature of every input file), so a
-    driver regeneration of the testdata invalidates the cache instead of
-    serving stale neighbors."""
-    import hashlib
-    import os
+    recompute per run (VERDICT r5 item 8). Cached via
+    ``ensure_parquet_fixture``: the key's stat signature invalidates on
+    testdata regeneration, and the params fold in the query set, k, and
+    ``SIM_ROUND`` (the similarity rounding the stored truth bakes in)."""
+    from ..sources.registry import ensure_parquet_fixture, load_table
 
-    from ..sources.csv_source import ARTIFACTS
-    from ..sources.registry import fixture_tag, load_table
-
-    sig = hashlib.sha1(
-        ("|".join(map(str, sorted(query_ids))) + f"|k={k}|{id_col}|{vec_col}")
-        .encode()
-    ).hexdigest()[:10]
-    out = os.path.join(ARTIFACTS, f"ann_brute_{fixture_tag(sf_dir)}_{sig}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        ann_brute_topk(
-            emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
-        ).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    return ensure_parquet_fixture(
+        spark, "ann_brute", sf_dir,
+        params=("|".join(map(str, sorted(query_ids)))
+                + f"|k={k}|{id_col}|{vec_col}|sim_dp={SIM_ROUND}"),
+        build=lambda: ann_brute_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            query_ids, k=k, id_col=id_col, vec_col=vec_col,
+        ),
+    )
 
 
 def ann_ivf_topk_multi(

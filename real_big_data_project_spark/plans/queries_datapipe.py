@@ -370,14 +370,13 @@ def _ensure_recall_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus is a linear but heavy sweep (~3.6M array
     intersections at sf0.1) that exists only to GRADE the band join —
     the recall query should price the operator under test, not its
-    grader. Keyed by fixture_tag, so regenerated testdata rebuilds it."""
-    import os
+    grader. Cached via ``ensure_parquet_fixture`` — the key folds in the
+    threshold/stride/shingle-width constants, so retuning any of them
+    rebuilds the truth instead of grading against the old constants
+    while the DuckDB oracle recomputes inline with the new ones."""
+    from ..sources.registry import ensure_parquet_fixture
 
-    from ..sources.csv_source import ARTIFACTS
-    from ..sources.registry import fixture_tag
-
-    out = os.path.join(ARTIFACTS, f"dedup_truth_{fixture_tag(sf_dir)}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    def _build():
         docs = R.load_table(spark, sf_dir, "documents")
         corp = CP.with_near_duplicates(docs)
         sets = DT.shingle_sets(corp, 3)
@@ -397,14 +396,19 @@ def _ensure_recall_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("shingles", "shp")).cast("double")
             / F.size(F.array_union("shingles", "shp"))
         )
-        truth = (
+        return (
             sets.crossJoin(F.broadcast(probes))
             .filter(F.col("doc_id") != F.col("probe_id"))
             .filter(jac >= DEDUP_RECALL_THR)
             .select("probe_id", F.col("doc_id").alias("partner_id"))
         )
-        truth.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+
+    return ensure_parquet_fixture(
+        spark, "dedup_truth", sf_dir,
+        params=(f"thr={DEDUP_RECALL_THR}|mod={DEDUP_RECALL_MOD}"
+                f"|max_probes={DEDUP_RECALL_MAX_PROBES}|shingle_n=3"),
+        build=_build,
+    )
 
 
 

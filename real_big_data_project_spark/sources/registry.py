@@ -48,6 +48,55 @@ def fixture_tag(sf_dir: str) -> str:
         h.update(f"{rel}:{st.st_mtime_ns}:{st.st_size}".encode())
     return f"{os.path.basename(norm)}_{h.hexdigest()[:10]}"
 
+
+def ensure_parquet_fixture(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    params: str,
+    build,
+) -> DataFrame:
+    """The ONE caching protocol for derived ground-truth/index fixtures
+    under ``_artifacts/`` (ANN brute top-k, IVF lists, dedup recall
+    truth). Holds the two invariants every call site used to
+    re-implement — and one used to get wrong each:
+
+    * **Full cache key.** Path = ``<name>_<fixture_tag(sf_dir)>_<sha1 of
+      params>``: ``params`` must fold in EVERY constant the built frame
+      depends on (thresholds, rounding dp, probe strides, seeds), so
+      changing a grading constant rebuilds the fixture instead of
+      silently serving truth computed under the old constant while the
+      inline oracle recomputes under the new one.
+    * **Atomic publish.** The frame is written to a unique temp dir and
+      ``os.rename``d into place. Two concurrent builders (pytest +
+      bench, or bench's fresh-top5 child processes) previously raced
+      ``mode("overwrite")`` on the SAME final dir, which can interleave
+      one job's delete with the other's commit and leave a _SUCCESS-
+      marked dir holding part-files from both. With rename-publish the
+      loser's rename fails (target exists), its temp dir is discarded,
+      and it reads the winner's complete copy.
+
+    ``build`` is a zero-arg callable returning the DataFrame to persist;
+    it is only invoked on a cache miss.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from .csv_source import ARTIFACTS
+
+    sig = hashlib.sha1(params.encode()).hexdigest()[:10]
+    out = os.path.join(ARTIFACTS, f"{name}_{fixture_tag(sf_dir)}_{sig}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.build.{_uuid.uuid4().hex}"
+        build().write.mode("error").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # a concurrent builder published first; ours is redundant
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

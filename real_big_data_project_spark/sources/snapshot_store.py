@@ -63,7 +63,9 @@ def latest_version(root: str) -> int:
 def _commit(root: str, version: int, groups: list[str]) -> int:
     """CONCURRENCY CONTRACT — single writer assumed. Two writers that
     both read version v will both build manifest v+1: the second manifest
-    write overwrites the first, the second pointer flip wins, and the
+    rename overwrites the first (both manifest and pointer are published
+    via temp-file + atomic os.replace, so neither can tear), the second
+    pointer flip wins, and the
     loser's rows are silently absent from v+1 (its file group stays on
     disk, unreferenced and un-torn — nothing is ever corrupted, the
     losing UPDATE is lost). This is exactly the anomaly optimistic table
@@ -74,8 +76,15 @@ def _commit(root: str, version: int, groups: list[str]) -> int:
     pins the observable behavior (consistent table, no torn files)."""
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     new_v = version + 1
-    with open(_manifest_path(root, new_v), "w") as f:
+    # The manifest gets the same temp-write + atomic-rename as the
+    # pointer: two racing commits of DIFFERENT manifest lengths writing
+    # the final path directly could interleave truncate/flush and leave
+    # torn JSON behind a valid pointer. With os.replace the loser's
+    # manifest is wholly overwritten, never mixed.
+    mtmp = _manifest_path(root, new_v) + f".tmp.{uuid.uuid4().hex}"
+    with open(mtmp, "w") as f:
         json.dump({"groups": groups}, f)
+    os.replace(mtmp, _manifest_path(root, new_v))
     tmp = os.path.join(root, f"_latest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(new_v))

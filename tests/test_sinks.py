@@ -474,6 +474,9 @@ def test_snapshot_store_concurrent_append_contract(spark, tmp_path):
         t.start()
     for t in threads:
         t.join(timeout=300)
+        # join(timeout=) returns even if the writer hung — assert it
+        # actually finished, or the checks below race a live commit
+        assert not t.is_alive(), "writer thread still running after 300s"
     assert not errors, errors
 
     # The pointer names a fully readable snapshot (no torn manifest, no

@@ -10,8 +10,12 @@ A ROTATING 20-query subset runs in the DEFAULT suite (VERDICT r5 item 4:
 the flake-hunter must not be opt-in only). The rotation key is the
 testdata generation signature (`fixture_tag`), so every driver
 regeneration of the parquet — which happens each round — selects a
-different deterministic subset, sweeping the whole catalog over a few
-rounds at ~30 s per run instead of the full sweep's minutes.
+different deterministic subset at ~30 s per run instead of the full
+sweep's minutes. The per-generation draw is memoryless (each query has
+a 20/|catalog| chance per round; expected gap between re-proofs ≈ 8
+rounds with a geometric tail) — the FULL sweep, run at least once per
+round via the opt-in below, is what guarantees total coverage; the
+default subset exists to catch environment-coupled flakes early.
 
 The FULL catalog sweep plus the planted-skew guard stays opt-in:
 
@@ -20,6 +24,7 @@ The FULL catalog sweep plus the planted-skew guard stays opt-in:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -28,15 +33,17 @@ import pytest
 DEFAULT_SUBSET_SIZE = 20
 
 
-def _default_subset(names: list[str], sf: str) -> set[str]:
+@functools.lru_cache(maxsize=4)  # parametrized ~160x per run: one
+# fixture_tag stat-walk + one ranking per sf dir, not one per test
+def _default_subset_cached(sf: str) -> frozenset[str]:
     from real_big_data_project_spark.sources.registry import fixture_tag
 
     tag = fixture_tag(sf)
     ranked = sorted(
-        names,
+        _names(),
         key=lambda n: hashlib.sha1(f"{tag}|{n}".encode()).hexdigest(),
     )
-    return set(ranked[:DEFAULT_SUBSET_SIZE])
+    return frozenset(ranked[:DEFAULT_SUBSET_SIZE])
 
 
 _ADVERSARIAL_CONFS = {
@@ -51,23 +58,22 @@ def adversarial_spark():
 
     # getOrCreate may reuse the suite's SHARED session and apply the
     # adversarial confs to it — that's the point while this module runs,
-    # but they must not leak into later test modules: snapshot the
-    # pre-existing values BEFORE the builder touches them.
-    active = SparkSession.getActiveSession()
-    restore = (
-        {k: active.conf.get(k, None) for k in _ADVERSARIAL_CONFS}
-        if active is not None else {}
-    )
+    # but they must not leak into later test modules. Snapshot the
+    # restore values from the session itself, AFTER getOrCreate but
+    # BEFORE conf.set: even when this module creates the first session
+    # of the process (no pre-existing active session), the defaults it
+    # came up with must be restored at teardown, or Kiritimati time
+    # would leak into every later module via the shared singleton.
     builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .appName("rbds-stress")
     )
-    for k, v in _ADVERSARIAL_CONFS.items():
-        builder = builder.config(k, v)
     s = builder.getOrCreate()
+    restore = {k: s.conf.get(k, None) for k in _ADVERSARIAL_CONFS}
     for k, v in _ADVERSARIAL_CONFS.items():
-        s.conf.set(k, v)  # reused sessions don't re-apply builder confs
+        s.conf.set(k, v)  # conf.set, not builder confs: reused sessions
+        # don't re-apply builder confs
     yield s
     for k, v in restore.items():
         if v is None:
@@ -88,7 +94,7 @@ def test_query_stable_under_adversarial_session(adversarial_spark, name):
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if not os.environ.get("SPARK_GRAFT_STRESS"):
-        if name not in _default_subset(_names(), sf):
+        if name not in _default_subset_cached(sf):
             pytest.skip("not in this generation's default adversarial "
                         "subset (SPARK_GRAFT_STRESS=1 runs the full sweep)")
     res = check_query(adversarial_spark, name, sf)

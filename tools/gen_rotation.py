@@ -34,6 +34,8 @@ def latest_green() -> dict[str, int]:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", f)
+        if m is None:  # glob is looser than the name pattern
+            continue
         rnd = int(m.group(1))
         for q, r in json.load(open(f)).items():
             ok = (r.get("rows_match") and r.get("schema_match")

@@ -91,9 +91,10 @@ def main() -> int:
     report: dict[str, dict] = {}
     mismatches, errors, superlinear = [], [], []
     for i, (name, want_oracle) in enumerate(PICKS):
-        spec = C.QUERIES[name]
         row: dict = {}
         try:
+            spec = C.QUERIES[name]  # inside try: a renamed catalog entry
+            # must land in `errors`, not abort a multi-hour sweep
             for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
                 spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
                 t0 = time.time()
