@@ -128,3 +128,39 @@ def ensure_kmeans_lists_fixture(
             k=k, n_assign=n_assign, id_col=id_col, vec_col=vec_col,
         ).select(id_col, "cluster"),
     )
+
+
+def ensure_kmeans_centroids_fixture(
+    spark,
+    sf_dir: str,
+    k: int,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (label, centroid) frame of the stored IVF index, MATERIALIZED
+    beside ``ivf_lists`` (VERDICT r6 item 3): a real IVF index stores its
+    coarse quantizer with the lists, so probe selection at query time is
+    a read of k rows — not a corpus-wide posexplode+avg re-aggregation
+    per run. Same cache-key discipline as the lists fixture (k, passes,
+    rounding dp); identical output to a live ``ivf_centroids`` over the
+    stored assignment."""
+    from ..datapipe.similarity import ivf_centroids
+    from ..sources.registry import ensure_parquet_fixture, load_table
+
+    def _build() -> DataFrame:
+        lists = ensure_kmeans_lists_fixture(
+            spark, sf_dir, k=k, n_assign=n_assign,
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col, F.col("cluster").alias("label"))
+        return ivf_centroids(
+            load_table(spark, sf_dir, "embeddings"),
+            id_col=id_col, vec_col=vec_col, lists=lists,
+        )
+
+    return ensure_parquet_fixture(
+        spark, "ivf_centroids", sf_dir,
+        params=(f"k={k}|a={n_assign}|{id_col}|{vec_col}"
+                f"|dist_dp={DIST_ROUND}|cent_dp={CENTROID_ROUND}"),
+        build=_build,
+    )

@@ -19,6 +19,12 @@ from ..functions.hashing import normalized_tokens
 
 TRUNCATE_TAIL_TOKENS = 3
 
+# Version token for the tokenizer/normalization rules
+# (functions.hashing.normalized_tokens: lowercase + single-space split).
+# Folded into fixture cache keys that store truth derived from tokenized
+# text — bump it on ANY rule change so stored truth rebuilds.
+TOKENIZER_VERSION = "v1"
+
 
 def with_near_duplicates(
     docs: DataFrame,

@@ -594,6 +594,7 @@ def ann_ivf_topk_multi(
     list_col: str = "label",
     lists: DataFrame | None = None,
     pin_lists: bool = True,
+    centroids: DataFrame | None = None,
 ) -> dict[int, DataFrame]:
     """IVF top-k at SEVERAL probe settings from ONE corpus scan.
 
@@ -604,7 +605,12 @@ def ann_ivf_topk_multi(
     (q_ann_recall_ivf) therefore price ONE inverted-list scan + one
     centroid aggregate instead of one per setting — the scored candidate
     frame (|queries| x n_probe x |corpus|/n_lists rows) is pinned so the
-    per-setting top-k branches don't re-execute the scan."""
+    per-setting top-k branches don't re-execute the scan.
+
+    Pass ``centroids`` (label, centroid) to skip the centroid aggregate
+    entirely — a stored IVF index keeps its coarse quantizer beside the
+    lists (clustering.ensure_kmeans_centroids_fixture), so query time
+    prices probe-select + list scan only."""
     p_max = max(n_probes)
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
     if lists is not None and pin_lists:
@@ -612,7 +618,7 @@ def ann_ivf_topk_multi(
         # (a live k-means); pass pin_lists=False for a stored assignment —
         # re-reading parquet beats materializing a checkpoint.
         vecs = vecs.localCheckpoint(eager=False)
-    cents = _centroids(vecs)
+    cents = _centroids(vecs) if centroids is None else centroids
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )

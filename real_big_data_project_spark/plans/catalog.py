@@ -50,73 +50,66 @@ def register(name: str, oracle: str | None, description: str = "",
 # The priority prefix rotates each round: new/changed queries lead (a green
 # prior-round row does not certify new output), then the LEAST-recently
 # gated queries, so every catalog entry is periodically re-proven on
-# current-generation testdata.  Round-6 prefix = the three queries whose
-# CODE changed this round (the new tab-1 composite plus the two sf10-sweep
-# remediations), then the 48 queries whose only green driver row is
-# r02-era (computed from the CORRECTNESS_r01–r05 union); 51 names — the
-# 51st falls past the 50-slot sample and simply re-gates next round.
-# `q_approx_distinct` keeps
-# its rows-only r04 row (that is its maximum achievable check — it IS the
-# approximate operator) and is not re-rotated.
+# current-generation testdata.  Round-7 prefix (tools/gen_rotation.py):
+# the two queries whose OUTPUT or CODE changed this round lead —
+# q_approx_distinct (now emits oracle-checkable tolerance booleans
+# instead of raw sketch values, VERDICT r6 item 6) and q_ann_recall_ivf
+# (stored-centroid fixture, item 3) — then the r6 staleness tail
+# oldest-first: q_union_all (r02, the stalest row in the repo), the 18
+# r03-era rows (incl. the five streaming drains), and r04-era rows to
+# fill the 50-slot sample. Done-bar per VERDICT item 2: after this
+# round's gate, no catalog query's latest green row predates r04.
 _RISKIEST: tuple[str, ...] = (
-    # round-6 additions / round-6 CODE CHANGES lead — a green prior-round
-    # row does not certify new output (pipeline: int32 company ids;
-    # token-budget: pinned-stats cumsum; dashboard: new composite +
-    # keyed tie-break)
-    "q_dashboard_session",
-    "q_pipeline_e2e",
-    "q_token_budget_select",
-    # stalest: latest green driver row is r02; re-gate oldest-first
-    "q_above_avg",
-    "q_anti_join_new_keys",
-    "q_array_ops",
-    "q_asof_join",
-    "q_broadcast_lookup",
-    "q_case_market_map",
-    "q_case_when_clamp",
-    "q_company_timeseries",
-    "q_counts",
-    "q_customer_revenue",
-    "q_daily_bars_fallback",
-    "q_daily_stats_table",
-    "q_dedup_keys",
-    "q_event_transitions",
-    "q_exists_late_orders",
-    "q_filter_outliers",
-    "q_filter_positive",
-    "q_first_last_per_group",
-    "q_fuzzy_match",
-    "q_group_count",
-    "q_intersect_except",
-    "q_interval_join",
-    "q_isin_resolve",
-    "q_join_distinct_orderby",
-    "q_json_extract",
-    "q_lag_pct_change",
-    "q_minmax_range",
-    "q_null_profile",
-    "q_ohlcv_daily",
-    "q_partition_prune",
-    "q_prefix_normalize",
-    "q_pricing_summary",
-    "q_project_rename",
-    "q_range_window",
-    "q_regex_clean",
-    "q_regional_volume",
-    "q_rolling_bollinger",
-    "q_rollup",
-    "q_rowwise_stats",
-    "q_scan_csv",
-    "q_scan_parquet",
-    "q_scan_pickle",
-    "q_semi_join_orphans",
-    "q_surrogate_keys",
-    "q_tick_compression",
-    "q_topk",
-    "q_topk_per_group",
-    "q_union_all",
-    # everything after the prefix holds an r03+ green row; family rank
-    # fills any remaining sample slots with re-verification.
+    "q_approx_distinct",  # last green r04
+    "q_ann_recall_ivf",  # last green r05
+    "q_union_all",  # last green r02
+    "q_corpus_shard",  # last green r03
+    "q_corpus_shuffle",  # last green r03
+    "q_dedup_embedding",  # last green r03
+    "q_dedup_incremental",  # last green r03
+    "q_filter_funnel",  # last green r03
+    "q_knn_graph",  # last green r03
+    "q_ntile_deciles",  # last green r03
+    "q_pii_scrub",  # last green r03
+    "q_scan_excel",  # last green r03
+    "q_scan_jdbc",  # last green r03
+    "q_stream_stream_join",  # last green r03
+    "q_streaming_dedup",  # last green r03
+    "q_streaming_enrich",  # last green r03
+    "q_streaming_ohlcv",  # last green r03
+    "q_streaming_sessions",  # last green r03
+    "q_tags_resolve",  # last green r03
+    "q_train_test_split",  # last green r03
+    "q_trend_slope_sql",  # last green r03
+    "q_ann_recall_sq8",  # last green r04
+    "q_catalog_tables",  # last green r04
+    "q_corr_stats",  # last green r04
+    "q_cube",  # last green r04
+    "q_dq_expectations",  # last green r04
+    "q_ewma_daily",  # last green r04
+    "q_gapfill_locf",  # last green r04
+    "q_having_large_orders",  # last green r04
+    "q_heavy_hitters",  # last green r04
+    "q_incremental_ohlcv",  # last green r04
+    "q_linreg_train",  # last green r04
+    "q_median_mode",  # last green r04
+    "q_merge_upsert",  # last green r04
+    "q_min_price_supplier",  # last green r04
+    "q_pagerank",  # last green r04
+    "q_percentiles",  # last green r04
+    "q_pivot_wide",  # last green r04
+    "q_quantile_bucket",  # last green r04
+    "q_rank_functions",  # last green r04
+    "q_recursive_ancestry",  # last green r04
+    "q_scan_csv_quarantine",  # last green r04
+    "q_scan_jsonl",  # last green r04
+    "q_scan_mixed_dir",  # last green r04
+    "q_scan_orc",  # last green r04
+    "q_scd2_intervals",  # last green r04
+    "q_semantic_dedup",  # last green r04
+    "q_sessionize",  # last green r04
+    "q_simjoin_prefix",  # last green r04
+    "q_snapshot_diff",  # last green r04
 )
 
 

@@ -2293,22 +2293,55 @@ def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL relative-error budget the gate enforces. The sketch is
+# deterministic for a given input SET (xxhash64 registers, merge =
+# elementwise max ⇒ partitioning- and order-insensitive), so the
+# observed error at any testdata generation is a fixed number this
+# bound must clear. The DEFAULT rsd (0.05) measured 6.7% off at sf0.1
+# (1500 true users) — over budget — so the sketch is sized at rsd=0.02
+# (still a fixed few-KB register array, merged map-side at any scale);
+# measured error ≤0.4% at sf0.001–0.1. tests/test_plans.py still pins
+# the numeric accuracy.
+APPROX_DISTINCT_TOL = 0.05
+APPROX_DISTINCT_RSD = 0.02
+
+
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific — rows-only gate;
-                  # accuracy pinned by tests/test_plans.py
+    oracle=f"""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_users_ok,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS exact_types,
+           TRUE AS approx_types_ok
+    FROM events
+    """,
     description="A5 at scale — approx_count_distinct (HyperLogLog++) next "
                 "to the exact count: the 100 TB cardinality path (no "
                 "global shuffle of distinct values, fixed-size sketch "
-                "merged map-side).",
+                "merged map-side). The sketch value is engine-specific, so "
+                "the gate checks the CONTRACT instead (VERDICT r6 item 6): "
+                "|approx−exact|/exact ≤ 5% emitted as a boolean that the "
+                "oracle asserts literally — a drifting HLL hash-mismatches "
+                "the row instead of hiding behind a rows-only check.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.load_table(spark, sf_dir, "events")
-    return ev.agg(
+    tol = F.lit(APPROX_DISTINCT_TOL)
+    agg = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD)
+        .alias("approx_users"),
         F.countDistinct("event_type").alias("exact_types"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.approx_count_distinct("event_type", APPROX_DISTINCT_RSD)
+        .alias("approx_types"),
+    )
+    return agg.select(
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         / F.col("exact_users") <= tol).alias("approx_users_ok"),
+        "exact_types",
+        (F.abs(F.col("approx_types") - F.col("exact_types"))
+         / F.col("exact_types") <= tol).alias("approx_types_ok"),
     )
 
 

@@ -405,8 +405,14 @@ def _ensure_recall_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ensure_parquet_fixture(
         spark, "dedup_truth", sf_dir,
+        # The key folds in EVERY constant the stored truth depends on —
+        # including the corpus-planting tail width and a tokenizer
+        # version token (bump on any normalization-rule change), so
+        # retuning either rebuilds the truth instead of serving pairs
+        # computed under the old planting.
         params=(f"thr={DEDUP_RECALL_THR}|mod={DEDUP_RECALL_MOD}"
-                f"|max_probes={DEDUP_RECALL_MAX_PROBES}|shingle_n=3"),
+                f"|max_probes={DEDUP_RECALL_MAX_PROBES}|shingle_n=3"
+                f"|tail={CP.TRUNCATE_TAIL_TOKENS}|tok={CP.TOKENIZER_VERSION}"),
         build=_build,
     )
 
@@ -1072,6 +1078,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 4
 
+# The Spark side rounds distances/centroids with these module constants;
+# the oracle SQL must interpolate the SAME names (not literals), so a
+# retune rebuilds both sides together instead of gate-mismatching.
+from ..datapipe.clustering import DIST_ROUND  # noqa: E402
+from ..datapipe.similarity import CENTROID_ROUND  # noqa: E402
+
 
 def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
     """One assignment pass: nearest centroid by rounded squared-L2,
@@ -1081,7 +1093,7 @@ def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
       SELECT {vec_src}.vec_id, {vec_src}.v, cc.cluster,
              round(list_sum(list_transform(range(1, len({vec_src}.v) + 1),
                    j -> ({vec_src}.v[j] - cc.c[j]) * ({vec_src}.v[j] - cc.c[j]))),
-                   {5}) AS d
+                   {DIST_ROUND}) AS d
       FROM {vec_src} CROSS JOIN {cent_src} cc
     ),
     {out} AS (
@@ -1110,7 +1122,7 @@ def _sql_kmeans_lists() -> str:
     kcents AS (
       SELECT cluster, list(cval ORDER BY dim) AS c
       FROM (
-        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT cluster, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM asg1, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY cluster, i
       )
@@ -1147,7 +1159,7 @@ def _sql_ivf_topk(probe_cte: str, out: str, k: int) -> str:
       SELECT label,
              list(cval ORDER BY dim) AS centroid
       FROM (
-        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT label, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY label, i
       )
@@ -1202,22 +1214,28 @@ def _sql_ivf_topk(probe_cte: str, out: str, k: int) -> str:
     tags=("datapipe",),
 )
 def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..datapipe.clustering import ensure_kmeans_lists_fixture
+    from ..datapipe.clustering import (
+        ensure_kmeans_centroids_fixture,
+        ensure_kmeans_lists_fixture,
+    )
 
     emb = R.load_table(spark, sf_dir, "embeddings")
     # The IVF index is an OFFLINE artifact: the stored k-means assignment
-    # (identical to a live run — deterministic seeds) and the stored brute
-    # ground truth are both fixture-cached, so this measurement query
-    # prices only the multi-probe inverted-list scan under test.
+    # (identical to a live run — deterministic seeds), its coarse
+    # quantizer (the centroid frame, stored beside the lists like a real
+    # IVF index stores its codebook), and the stored brute ground truth
+    # are all fixture-cached, so this measurement query prices only the
+    # multi-probe inverted-list scan under test.
     lists = ensure_kmeans_lists_fixture(spark, sf_dir, k=KMEANS_K).select(
         "vec_id", F.col("cluster").alias("label")
     )
+    cents = ensure_kmeans_centroids_fixture(spark, sf_dir, k=KMEANS_K)
     brute = SIM.ensure_brute_topk_fixture(
         spark, sf_dir, RECALL_QUERY_IDS, k=RECALL_K
     )
     tops = SIM.ann_ivf_topk_multi(
         emb, RECALL_QUERY_IDS, k=RECALL_K, n_probes=(1, 2, 4), lists=lists,
-        pin_lists=False,
+        pin_lists=False, centroids=cents,
     )
     out = SIM.recall_at_k(tops[1], brute).withColumnRenamed(
         "recall", "recall_p1"
@@ -1239,7 +1257,7 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label,
              list(cval ORDER BY dim) AS centroid
       FROM (
-        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT label, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY label, i
       )
@@ -1433,7 +1451,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents AS (
       SELECT cluster, list(cval ORDER BY dim) AS c
       FROM (
-        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT cluster, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM asg1, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY cluster, i
       )
@@ -1692,7 +1710,7 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled AS (
       SELECT label, list(cval ORDER BY dim) AS pv
       FROM (
-        SELECT label, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT label, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM lv, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY label, i
       )
@@ -2549,7 +2567,7 @@ SEMDEDUP_K = 16  # fixed for the oracle mirror; production uses k="auto"
     scents AS (
       SELECT cluster, list(cval ORDER BY dim) AS c
       FROM (
-        SELECT cluster, i AS dim, round(avg(v[i]), 6) AS cval
+        SELECT cluster, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
         FROM sasg1, unnest(range(1, len(v) + 1)) AS r(i)
         GROUP BY cluster, i
       )

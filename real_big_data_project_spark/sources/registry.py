@@ -86,14 +86,30 @@ def ensure_parquet_fixture(
 
     sig = hashlib.sha1(params.encode()).hexdigest()[:10]
     out = os.path.join(ARTIFACTS, f"{name}_{fixture_tag(sf_dir)}_{sig}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    success = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(success):
+        # A dir at `out` WITHOUT _SUCCESS is a corpse (pre-hardening
+        # overwrite race, or a session with success markers disabled):
+        # left in place it would fail every future rename with ENOTEMPTY
+        # and the stale possibly-partial dir would be read forever.
+        if os.path.isdir(out):
+            shutil.rmtree(out, ignore_errors=True)
         tmp = f"{out}.build.{_uuid.uuid4().hex}"
         build().write.mode("error").parquet(tmp)
         try:
             os.rename(tmp, out)
         except OSError:
-            # a concurrent builder published first; ours is redundant
+            # Only a concurrent builder publishing first makes the
+            # rename failure benign — verify the winner's copy is
+            # actually there; otherwise (EACCES, EXDEV, ...) the real
+            # cause must surface, not a later path-not-found.
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(success):
+                raise
+    if not os.path.exists(success):
+        raise RuntimeError(
+            f"fixture publish left no _SUCCESS marker at {out!r}"
+        )
     return spark.read.parquet(out)
 
 

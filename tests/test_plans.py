@@ -96,9 +96,24 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(qmap, spark, sf_dir):
+    # The query now EMITS the tolerance verdict (oracle-checkable,
+    # VERDICT r6 item 6); this test pins that both flags actually hold.
     row = qmap["q_approx_distinct"](spark, sf_dir).collect()[0]
-    assert abs(row.approx_users - row.exact_users) <= max(1, 0.05 * row.exact_users)
-    assert abs(row.approx_types - row.exact_types) <= max(1, 0.05 * row.exact_types)
+    assert row.approx_users_ok and row.approx_types_ok
+    # and the raw sketch (pre-flag) stays inside the budget too
+    from pyspark.sql import functions as F
+
+    from real_big_data_project_spark.plans.queries_core import (
+        APPROX_DISTINCT_RSD,
+        APPROX_DISTINCT_TOL,
+    )
+    from real_big_data_project_spark.sources import registry as R
+
+    raw = R.load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("e"),
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD).alias("a"),
+    ).first()
+    assert abs(raw.a - raw.e) <= max(1, APPROX_DISTINCT_TOL * raw.e)
 
 
 def test_excel_source_contract(spark):

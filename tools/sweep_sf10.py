@@ -112,7 +112,7 @@ def main() -> int:
                 if not res.ok:
                     mismatches.append(name)
                     row["detail"] = res.detail[:300]
-            if row["ratio"] > 15:
+            if row["ratio"] > 10:
                 superlinear.append(name)
         except Exception as exc:  # noqa: BLE001 — record and continue
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -128,7 +128,7 @@ def main() -> int:
         "n": len(PICKS),
         "mismatches": mismatches,
         "errors": errors,
-        "superlinear_gt15x": superlinear,
+        "superlinear_gt10x": superlinear,
     }
     with open(OUT, "w") as f:
         json.dump({"summary": summary, "queries": report}, f, indent=1)
