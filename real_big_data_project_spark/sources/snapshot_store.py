@@ -21,11 +21,19 @@ Invariants:
   * readers resolve a manifest ONCE and read exactly its groups —
     snapshot isolation for free, any historical version stays readable
     until `expire_snapshots` garbage-collects unreferenced groups;
-  * the version pointer flips via os.replace (atomic on POSIX) — a
-    crashed writer leaves either the old or the new version, never a
-    torn table. (Multi-writer coordination — optimistic CAS on the
-    pointer — needs the filesystem/catalog to arbitrate, exactly as in
-    the real table formats; single-writer is assumed here.)
+  * commits are OPTIMISTIC compare-and-swap on the manifest file itself
+    (round 7, closing the single-writer caveat): the fully-written
+    manifest is published via os.link(temp, manifests/v{N}.json), which
+    is atomic AND fails with EEXIST if version N was already committed —
+    exactly one of any number of racing writers wins a version; losers
+    raise CommitConflict and the public ops retry against the new
+    current version, so BOTH racing appends land (serialized), no lost
+    update. `_latest` is a best-effort HINT for humans/tools;
+    `latest_version` derives truth from the manifest directory scan
+    (metadata-sized), so a stale or racing hint can never roll the
+    table back. A crashed writer leaves at most an unreferenced temp
+    manifest / data group — invisible to readers, GC'd by
+    `expire_snapshots`.
 
 Driver-side file IO touches ONLY manifest-sized metadata (file-group
 names, a version int); row data moves through executor-side
@@ -51,44 +59,66 @@ def _read_manifest(root: str, version: int) -> list[str]:
         return json.load(f)["groups"]
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-read the current
+    snapshot and retry (the public ops do this automatically)."""
+
+
+COMMIT_RETRIES = 20  # racing writers on one host settle in 1-2 rounds
+
+
 def latest_version(root: str) -> int:
-    """Current committed version; 0 = empty table (no commits yet)."""
-    ptr = os.path.join(root, "_latest")
-    if not os.path.exists(ptr):
+    """Current committed version; 0 = empty table (no commits yet).
+    Authoritative source = the manifest directory (a manifest file
+    exists iff its version committed — see `_commit`); the `_latest`
+    hint is never trusted, so a racing writer's stale hint can neither
+    hide a commit nor roll the table back."""
+    mdir = os.path.join(root, "manifests")
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
         return 0
-    with open(ptr) as f:
-        return int(f.read().strip())
+    best = 0
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[1:-5]))
+            except ValueError:
+                continue  # temp files don't parse — not manifests
+    return best
 
 
 def _commit(root: str, version: int, groups: list[str]) -> int:
-    """CONCURRENCY CONTRACT — single writer assumed. Two writers that
-    both read version v will both build manifest v+1: the second manifest
-    rename overwrites the first (both manifest and pointer are published
-    via temp-file + atomic os.replace, so neither can tear), the second
-    pointer flip wins, and the
-    loser's rows are silently absent from v+1 (its file group stays on
-    disk, unreferenced and un-torn — nothing is ever corrupted, the
-    losing UPDATE is lost). This is exactly the anomaly optimistic table
-    formats close with a compare-and-swap on the pointer, which a plain
-    filesystem cannot express atomically; multi-writer deployments must
-    front commits with a lock/catalog that arbitrates the flip.
-    tests/test_sinks.py::test_snapshot_store_concurrent_append_contract
-    pins the observable behavior (consistent table, no torn files)."""
+    """Optimistic CAS commit of manifest ``version + 1``.
+
+    The fully-written manifest is published with os.link(temp, final):
+    atomic (the final name appears with complete content or not at all —
+    never torn JSON) and EXCLUSIVE (EEXIST if any other writer already
+    committed this version). Exactly one racing writer wins;
+    the rest get CommitConflict and must rebuild against the NEW current
+    version (public ops retry). The `_latest` hint is then refreshed
+    best-effort via atomic replace, forward-only no matter the
+    interleaving because readers derive truth from the manifest scan.
+    tests/test_sinks.py::test_snapshot_store_concurrent_appends_serialize
+    pins the behavior (both racing appends land, no lost commit)."""
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     new_v = version + 1
-    # The manifest gets the same temp-write + atomic-rename as the
-    # pointer: two racing commits of DIFFERENT manifest lengths writing
-    # the final path directly could interleave truncate/flush and leave
-    # torn JSON behind a valid pointer. With os.replace the loser's
-    # manifest is wholly overwritten, never mixed.
-    mtmp = _manifest_path(root, new_v) + f".tmp.{uuid.uuid4().hex}"
+    final = _manifest_path(root, new_v)
+    mtmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(mtmp, "w") as f:
         json.dump({"groups": groups}, f)
-    os.replace(mtmp, _manifest_path(root, new_v))
+    try:
+        os.link(mtmp, final)  # the CAS: atomic publish, EEXIST on loss
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {new_v} already committed at {root!r}"
+        ) from None
+    finally:
+        os.unlink(mtmp)
     tmp = os.path.join(root, f"_latest.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(new_v))
-    os.replace(tmp, os.path.join(root, "_latest"))  # atomic flip
+    os.replace(tmp, os.path.join(root, "_latest"))  # hint only
     return new_v
 
 
@@ -100,11 +130,21 @@ def _write_group(df: DataFrame, root: str, version: int) -> str:
 
 def snapshot_append(df: DataFrame, root: str) -> int:
     """Commit an append: new file group + manifest (old groups + new).
-    Returns the new version."""
+    Returns the new version. Append retries are CHEAP under conflict:
+    the immutable file group is written once; only the manifest list is
+    rebuilt against the new current version (appends commute, so no
+    recomputation is needed — the OCC fast path)."""
     v = latest_version(root)
     group = _write_group(df, root, v)
-    groups = (_read_manifest(root, v) if v else []) + [group]
-    return _commit(root, v, groups)
+    for _ in range(COMMIT_RETRIES):
+        try:
+            groups = (_read_manifest(root, v) if v else []) + [group]
+            return _commit(root, v, groups)
+        except CommitConflict:
+            v = latest_version(root)
+    raise CommitConflict(
+        f"append to {root!r} lost {COMMIT_RETRIES} CAS rounds"
+    )
 
 
 def snapshot_delete_keys(
@@ -113,21 +153,43 @@ def snapshot_delete_keys(
     """Commit a delete: anti-join the CURRENT snapshot against the key
     set into one replacement group. Prior versions keep the rows —
     compliance deletes that must destroy history additionally need
-    `expire_snapshots` down to the new version."""
-    v = latest_version(root)
-    cur = read_snapshot(spark, root, version=v)
-    kept = cur.join(F.broadcast(keys), on=key_col, how="left_anti")
-    group = _write_group(kept, root, v)
-    return _commit(root, v, [group])
+    `expire_snapshots` down to the new version.
+
+    Unlike appends, a delete does NOT commute with concurrent commits:
+    its replacement group snapshots the version it read, so on conflict
+    the kept-set is RECOMPUTED from the new current version (the orphan
+    group stays unreferenced until expire_snapshots collects it) — the
+    standard OCC validate-and-reexecute path."""
+    for _ in range(COMMIT_RETRIES):
+        v = latest_version(root)
+        cur = read_snapshot(spark, root, version=v)
+        kept = cur.join(F.broadcast(keys), on=key_col, how="left_anti")
+        group = _write_group(kept, root, v)
+        try:
+            return _commit(root, v, [group])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"delete on {root!r} lost {COMMIT_RETRIES} CAS rounds"
+    )
 
 
 def snapshot_compact(spark: SparkSession, root: str) -> int:
     """Commit a compaction: rewrite the current snapshot as one group.
-    Old versions stay readable (their groups remain until expired)."""
-    v = latest_version(root)
-    cur = read_snapshot(spark, root, version=v)
-    group = _write_group(cur, root, v)
-    return _commit(root, v, [group])
+    Old versions stay readable (their groups remain until expired).
+    Conflict handling mirrors snapshot_delete_keys (recompute against
+    the new version — a compaction must not drop a racing append)."""
+    for _ in range(COMMIT_RETRIES):
+        v = latest_version(root)
+        cur = read_snapshot(spark, root, version=v)
+        group = _write_group(cur, root, v)
+        try:
+            return _commit(root, v, [group])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"compact on {root!r} lost {COMMIT_RETRIES} CAS rounds"
+    )
 
 
 def read_snapshot(

