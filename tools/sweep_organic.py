@@ -1,0 +1,122 @@
+"""Scale sweep of the pair-bound dedup/ANN family on the ORGANIC corpus.
+
+VERDICT r6 item 1's measurement half: run every pair-bound plan at
+organic_sf1 (50k docs / 20k embeddings) and organic_sf10 (10x both),
+where true near-duplicate pairs grow LINEARLY with rows (see
+make_organic_corpus.py) — so a plan whose candidate generation is
+blocked/bucketed correctly must land at a ratio near ~10, with no
+planted-pair-inflation disclaimer available to excuse anything higher.
+
+Protocol matches sweep_sf10.py: per (query, scale) an UNTIMED warm pass
+first (fixture builds, shuffle reuse, JIT), then one timed pass; ratio =
+t_sf10 / t_sf1, flagged above 12 (the VERDICT done-bar: "every dedup
+ratio ≤ ~12x for 10x rows"). DuckDB oracles run at organic_sf1 where the
+mirror is tractable — proving the plans are CORRECT on the fresh-entropy
+corpus, not just fast (the driver gate only ever sees /root/testdata).
+
+Output: _artifacts/sweep_organic.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF1 = os.path.join(REPO, "_artifacts", "organic_sf1")
+SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
+OUT = os.path.join(REPO, "_artifacts", "sweep_organic.json")
+RATIO_FLAG = 12.0  # the VERDICT done-bar for 10x rows
+
+# (query, oracle_at_organic_sf1) — oracle where the DuckDB mirror is not
+# quadratic at 50k docs (the banded-join mirrors are pair-bound too and
+# fine here; q_semantic_dedup's mirror is quadratic-in-cluster and
+# q_knn_graph's is cell-quadratic — their correctness is driver-gated at
+# sf0.01, this sweep prices their scale).
+PICKS: tuple[tuple[str, bool], ...] = (
+    ("q_dedup_exact", True),
+    ("q_doc_fingerprint", True),
+    ("q_dedup_minhash_lsh", True),
+    ("q_dedup_ngram_jaccard", True),
+    ("q_dedup_simhash", True),
+    ("q_dedup_embedding", True),
+    ("q_dedup_components", False),
+    ("q_semantic_dedup", False),
+    ("q_knn_graph", False),
+    ("q_ann_recall", False),
+)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sweep-organic")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "64g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from real_big_data_project_spark.plans import catalog as C
+    from real_big_data_project_spark.plans.oracle_check import check_query
+
+    C._load_all()
+    report: dict[str, dict] = {}
+    mismatches, errors, superlinear = [], [], []
+    for i, (name, want_oracle) in enumerate(PICKS):
+        row: dict = {}
+        try:
+            spec = C.QUERIES[name]
+            for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
+                spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
+                t0 = time.time()
+                n = spec.builder(spark, sf_dir).count()
+                row[key] = round(time.time() - t0, 2)
+                if key == "t_sf10":
+                    row["rows_sf10"] = n
+                else:
+                    row["rows_sf1"] = n
+            row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
+            if want_oracle and spec.oracle is not None:
+                t0 = time.time()
+                res = check_query(spark, name, SF1)
+                row["oracle_s"] = round(time.time() - t0, 2)
+                row["ok"] = bool(res.ok)
+                row["bit_equal"] = bool(res.values_bit_equal)
+                if not res.ok:
+                    mismatches.append(name)
+                    row["detail"] = res.detail[:300]
+            if row["ratio"] > RATIO_FLAG:
+                superlinear.append(name)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            errors.append(name)
+        report[name] = row
+        status = row.get("error") or (
+            "MISMATCH" if name in mismatches else "OK")
+        print(f"[{i + 1}/{len(PICKS)}] {name}: sf1 {row.get('t_sf1')}s "
+              f"sf10 {row.get('t_sf10')}s x{row.get('ratio')} {status}",
+              flush=True)
+
+    summary = {
+        "n": len(PICKS),
+        "corpus": "organic (fresh-entropy, seed 777; true pairs ~ linear)",
+        "mismatches": mismatches,
+        "errors": errors,
+        f"superlinear_gt{int(RATIO_FLAG)}x": superlinear,
+    }
+    with open(OUT, "w") as f:
+        json.dump({"summary": summary, "queries": report}, f, indent=1)
+    print(json.dumps(summary))
+    return 1 if (mismatches or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
