@@ -73,23 +73,33 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str,
-                        watermark: str = "3650 days") -> DataFrame:
+                        watermark: str = "3650 days",
+                        landing: str | None = None,
+                        max_files_per_trigger: int | None = None,
+                        progress_sink: list | None = None) -> DataFrame:
     """Drain the doubled landing dir with availableNow through
     dropDuplicatesWithinWatermark(event_id) into a memory sink; returns
     each event exactly once.
 
     The wide local watermark keeps every key's state live for the whole
     drain (nothing is ever legitimately late here); production tightens
-    it to the real re-delivery horizon to bound state.
-    """
+    it to the real re-delivery horizon to bound state — the eviction
+    soak passes a tight ``watermark`` over a multi-day ``landing`` and
+    asserts via ``progress_sink`` that the key store actually SHRINKS
+    as the watermark passes (state = arrival rate x horizon, not
+    history)."""
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
     from ..sources.registry import events_ts_divisor
 
-    landing = duplicated_landing_dir(sf_dir)
-    d = events_ts_divisor(landing)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(landing)
+    if landing is None:
+        landing = duplicated_landing_dir(sf_dir)
+    d = events_ts_divisor(landing, glob_pat="*.parquet")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(landing)
     events = raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {d}")))
     deduped = (
         events.withWatermark("ts", watermark)
@@ -97,7 +107,10 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     )
     from .drain import drain_available_now
 
-    out = drain_available_now(deduped, "append", "dedup", shuffle_partitions="16")
+    out = drain_available_now(deduped, "append", "dedup",
+                              shuffle_partitions="16",
+                              progress_sink=progress_sink,
+                              no_data_microbatches=progress_sink is not None)
     # recover the engine's session-tz-independent NTZ timestamps
     return out.withColumn(
         "ts",

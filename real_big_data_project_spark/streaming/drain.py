@@ -168,11 +168,19 @@ def drain_available_now(
     tag: str,
     timeout_s: int = 300,
     shuffle_partitions: str | None = None,
+    progress_sink: list | None = None,
+    no_data_microbatches: bool = False,
 ) -> DataFrame:
     """Run `df` (a streaming DataFrame) to completion with
     ``trigger(availableNow=True)``, writing every micro-batch to a fresh
     parquet directory via ``foreachBatch``; return a lazy batch scan of
-    the drained output (empty-but-typed frame if the source was empty)."""
+    the drained output (empty-but-typed frame if the source was empty).
+
+    ``progress_sink``: a list that receives the query's per-microbatch
+    StreamingQueryProgress dicts after termination — the state-store
+    metrics (`stateOperators[].numRowsTotal/numRowsRemoved`) are how the
+    eviction soak tests PROVE watermark-driven state cleanup instead of
+    inferring it from output equality."""
     _prune_drain_root()
     spark = df.sparkSession
     run_id = f"{tag}_{uuid.uuid4().hex[:8]}"
@@ -192,7 +200,12 @@ def drain_available_now(
     # One-shot drains emit every row in the data batches themselves; the
     # trailing no-data micro-batch only advances watermarks/evicts state,
     # which a terminating drain doesn't need — skip its fixed cost.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # (The eviction soak tests pass no_data_microbatches=True: there the
+    # trailing batch IS the subject under test.)
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_microbatches else "false",
+    )
     try:
         q = (
             df.writeStream.foreachBatch(write_batch)
@@ -207,6 +220,8 @@ def drain_available_now(
             # stalled source fails loudly instead of hanging the harness
             if not q.awaitTermination(timeout_s):
                 raise TimeoutError(f"streaming drain {tag!r} exceeded {timeout_s}s")
+            if progress_sink is not None:
+                progress_sink.extend(q.recentProgress)
         finally:
             q.stop()
     finally:

@@ -56,3 +56,53 @@ def run_streaming_sessions(
         F.expr(_NTZ.format(c="first_ts")).alias("session_start"),
         F.expr(_NTZ.format(c="last_ts")).alias("session_end"),
     )
+
+
+def run_streaming_sessions_append(
+    spark: SparkSession,
+    landing: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of the session topology: append mode over a
+    landing directory — a session row is emitted exactly once, when the
+    watermark passes its end, and its state is EVICTED at that moment
+    (complete mode, used by the oracle-checked drain above, keeps all
+    state by design and re-emits everything). The eviction soak runs a
+    multi-day landing through this and asserts the store shrinks."""
+    from ..session import ensure_session_confs
+    from ..sources.registry import events_ts_divisor
+    from .ohlcv_stream import EVENTS_RAW_SCHEMA
+
+    ensure_session_confs(spark)
+    d = events_ts_divisor(landing, glob_pat="*.parquet")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ticks = reader.parquet(landing).withColumn(
+        "ts", F.timestamp_micros(F.expr(f"ts div {d}"))
+    )
+    sess = (
+        ticks.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    from .drain import drain_available_now
+
+    out = drain_available_now(
+        sess, "append", "sessions_append", shuffle_partitions="16",
+        progress_sink=progress_sink,
+        no_data_microbatches=progress_sink is not None,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.expr(_NTZ.format(c="first_ts")).alias("session_start"),
+        F.expr(_NTZ.format(c="last_ts")).alias("session_end"),
+    )

@@ -249,3 +249,133 @@ def test_idempotent_sink_survives_batch_replay(spark, tmp_path):
     write(b1, 1)
     got = sorted(r.v for r in read_idempotent_sink(spark, sink_dir).collect())
     assert got == list(range(8))
+
+
+# ---------------------------------------------------------------------------
+# Watermark-driven state EVICTION soaks (VERDICT r6 item 8): multi-batch
+# drains asserting the state store actually SHRINKS as the watermark
+# passes — numRowsRemoved/numRowsTotal from StreamingQueryProgress, not
+# output equality.
+# ---------------------------------------------------------------------------
+
+_DAY_USERS = 20
+_EVENTS_PER_USER = 10
+
+
+def _three_day_landing(tag: str, day1_only_users: int = 0,
+                       duplicate: bool = False) -> tuple[str, int]:
+    """3 parquet files (one per day, mtime-ordered so maxFilesPerTrigger=1
+    yields 3 microbatches): users 0.._DAY_USERS-1 emit _EVENTS_PER_USER
+    events each day at 09:00+i min; optionally `day1_only_users` extra
+    users appear ONLY on day 1 (idle-series eviction bait); optionally
+    every row is written twice (at-least-once delivery bait). Returns
+    (dir, unique_event_count). ts is written timestamp[us] like the
+    driver's current events.parquet generation."""
+    out = os.path.join(ART, f"soak_landing_{tag}")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    unique = 0
+    for day in (1, 2, 3):
+        rows = []
+        users = list(range(_DAY_USERS))
+        if day == 1:
+            users += list(range(100, 100 + day1_only_users))
+        for u in users:
+            for i in range(_EVENTS_PER_USER):
+                eid = day * 1_000_000 + u * 1_000 + i
+                ts = pd.Timestamp(f"2024-01-0{day} 09:00:00") \
+                    + pd.Timedelta(minutes=i)
+                rows.append((eid, ts, u, "tick", 100.0 + i, "{}"))
+                unique += 1
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        if duplicate:
+            pdf = pd.concat([pdf, pdf], ignore_index=True)
+        p = os.path.join(out, f"day{day}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + day * 100,) * 2)
+    return out, unique
+
+
+def _state_ops(progress: list) -> list[dict]:
+    return [p["stateOperators"][0] for p in progress
+            if p.get("stateOperators")]
+
+
+def test_streaming_dedup_state_evicts_past_watermark(spark):
+    """3-day doubled feed, 1-hour re-delivery horizon: every event still
+    lands exactly once, AND the dedup key store shrinks as the watermark
+    passes each day — bounded by (arrival rate x horizon), not history."""
+    from real_big_data_project_spark.streaming.dedup_stream import (
+        run_streaming_dedup,
+    )
+
+    landing, n_unique = _three_day_landing("dedup", duplicate=True)
+    progress: list = []
+    out = run_streaming_dedup(
+        spark, landing, watermark="1 hour", landing=landing,
+        max_files_per_trigger=1, progress_sink=progress,
+    )
+    assert out.count() == n_unique  # exactly-once output, 3 batches
+    ops = _state_ops(progress)
+    assert len(ops) >= 3
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    per_day = n_unique // 3
+    # day-1 and day-2 keys must have been evicted by the trailing batches
+    assert removed >= 2 * per_day, [op["numRowsRemoved"] for op in ops]
+    finals = [op["numRowsTotal"] for op in ops]
+    assert finals[-1] <= per_day, finals  # only the live horizon remains
+    assert max(finals) < n_unique  # the store never held full history
+
+
+def test_streaming_sessions_finalize_and_evict(spark):
+    """Append-mode session windows: a session is emitted exactly once
+    when the watermark passes its end, and its state row is evicted at
+    that moment — day-3 sessions stay open (never emitted), day-1/2
+    sessions are both emitted and gone from the store."""
+    from real_big_data_project_spark.streaming.sessions import (
+        run_streaming_sessions_append,
+    )
+
+    landing, _ = _three_day_landing("sessions")
+    progress: list = []
+    out = run_streaming_sessions_append(
+        spark, landing, gap="30 minutes", watermark="1 hour",
+        max_files_per_trigger=1, progress_sink=progress,
+    ).collect()
+    # one session per (user, day); only day1+day2 finalized
+    assert len(out) == 2 * _DAY_USERS
+    assert all(r.n_events == _EVENTS_PER_USER for r in out)
+    ops = _state_ops(progress)
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    assert removed >= 2 * _DAY_USERS, [op["numRowsRemoved"] for op in ops]
+    finals = [op["numRowsTotal"] for op in ops]
+    assert finals[-1] <= _DAY_USERS, finals  # only day-3 sessions live
+
+
+def test_stateful_pct_idle_series_evict(spark):
+    """EventTimeTimeout on the custom GroupState operator: series idle
+    past the timeout horizon are removed from the store (numRowsTotal
+    falls to the live-series count), while live series keep their carry
+    state and every in-order row is still processed."""
+    from real_big_data_project_spark.streaming.stateful import (
+        run_stateful_pct_change,
+    )
+
+    n_idle = 5
+    landing, n_unique = _three_day_landing("statefulpct",
+                                           day1_only_users=n_idle)
+    progress: list = []
+    out = run_stateful_pct_change(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1,
+        idle_timeout="2 hours", progress_sink=progress,
+    )
+    assert out.count() == n_unique  # in-order feed: nothing dropped
+    ops = _state_ops(progress)
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    assert removed >= n_idle, [op["numRowsRemoved"] for op in ops]
+    finals = [op["numRowsTotal"] for op in ops]
+    assert finals[-1] == _DAY_USERS, finals  # idle series gone, live kept
