@@ -40,12 +40,19 @@ class CompareResult:
 def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     import duckdb
 
+    import os as _os
+
     con = duckdb.connect()
     try:
+        # Partial dirs (the organic corpus ships documents+embeddings
+        # only) register just the tables present; a query that needs a
+        # missing one fails loudly at bind time with "view not found"
+        # instead of DuckDB's late file-pattern IOException.
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            if _os.path.exists(f"{sf_dir}/{t}.parquet"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
         return con.execute(sql).df()
     finally:
         con.close()

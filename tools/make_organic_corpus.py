@@ -92,10 +92,16 @@ def main() -> None:
         # independent per-dir streams: sf1 is NOT a prefix of sf10, so
         # neither corpus embeds the other (no accidental replication)
         rng = np.random.default_rng([SEED, n_docs])
+        # Small row groups: Spark assigns parquet splits by row-group
+        # position, so a single 500k-row group would pin the whole scan
+        # (and every pre-shuffle stage above it) to ONE task — the first
+        # sweep run measured exact dedup 3.7x slower purely from that.
         docs = gen_documents(n_docs, rng)
-        pq.write_table(docs, os.path.join(dst, "documents.parquet"))
+        pq.write_table(docs, os.path.join(dst, "documents.parquet"),
+                       row_group_size=8192)
         emb = gen_embeddings(n_emb, rng)
-        pq.write_table(emb, os.path.join(dst, "embeddings.parquet"))
+        pq.write_table(emb, os.path.join(dst, "embeddings.parquet"),
+                       row_group_size=8192)
         print(f"{tag}: {docs.num_rows} docs, {emb.num_rows} embeddings")
 
 
