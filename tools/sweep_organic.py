@@ -76,9 +76,17 @@ def main() -> int:
             spec = C.QUERIES[name]
             for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
                 spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
-                t0 = time.time()
-                n = spec.builder(spark, sf_dir).count()
-                row[key] = round(time.time() - t0, 2)
+                # best-of-2 timed passes: single-pass timings on a 64 GB
+                # heap swing several x under GC pressure (one run
+                # measured the same LSH leg at 16 s and 103 s); min is
+                # the steady-state plan cost the ratio should price
+                best, n = None, 0
+                for _ in range(2):
+                    t0 = time.time()
+                    n = spec.builder(spark, sf_dir).count()
+                    t = time.time() - t0
+                    best = t if best is None else min(best, t)
+                row[key] = round(best, 2)
                 if key == "t_sf10":
                     row["rows_sf10"] = n
                 else:
