@@ -379,3 +379,45 @@ def test_stateful_pct_idle_series_evict(spark):
     assert removed >= n_idle, [op["numRowsRemoved"] for op in ops]
     finals = [op["numRowsTotal"] for op in ops]
     assert finals[-1] == _DAY_USERS, finals  # idle series gone, live kept
+
+
+def test_streaming_dedup_evicts_on_rocksdb_state_store(spark):
+    """Same dedup eviction soak on the DISK-BACKED state store a large
+    deployment runs (RocksDBStateStoreProvider, bundled with Spark):
+    state larger than executor heap is the 100 TB reality, and provider
+    swap must change neither results nor eviction behavior. The conf is
+    read at query start, so setting it around the drain is enough."""
+    from real_big_data_project_spark.streaming.dedup_stream import (
+        run_streaming_dedup,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    landing, n_unique = _three_day_landing("dedup_rocks", duplicate=True)
+    progress: list = []
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = run_streaming_dedup(
+            spark, landing, watermark="1 hour", landing=landing,
+            max_files_per_trigger=1, progress_sink=progress,
+        )
+        assert out.count() == n_unique
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    ops = _state_ops(progress)
+    assert ops and any(
+        "rocksdb" in k.lower()
+        for op in ops for k in (op.get("customMetrics") or {})
+    ), "state store did not actually run on RocksDB"
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    per_day = n_unique // 3
+    assert removed >= 2 * per_day
+    finals = [op["numRowsTotal"] for op in ops]
+    assert finals[-1] <= per_day, finals

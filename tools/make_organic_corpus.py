@@ -96,12 +96,16 @@ def main() -> None:
         # position, so a single 500k-row group would pin the whole scan
         # (and every pre-shuffle stage above it) to ONE task — the first
         # sweep run measured exact dedup 3.7x slower purely from that.
+        # 2048 rows/group gives BOTH scales ≥ 24 splits, so the sf1 leg
+        # saturates local[32] like the sf10 leg does and the ratio
+        # compares saturated plans (8192 left sf1 at 7 tasks, deflating
+        # every scan-bound ratio by the idle-core factor).
         docs = gen_documents(n_docs, rng)
         pq.write_table(docs, os.path.join(dst, "documents.parquet"),
-                       row_group_size=8192)
+                       row_group_size=2048)
         emb = gen_embeddings(n_emb, rng)
         pq.write_table(emb, os.path.join(dst, "embeddings.parquet"),
-                       row_group_size=8192)
+                       row_group_size=2048)
         print(f"{tag}: {docs.num_rows} docs, {emb.num_rows} embeddings")
 
 
