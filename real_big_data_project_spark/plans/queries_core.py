@@ -2335,13 +2335,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_type", APPROX_DISTINCT_RSD)
         .alias("approx_types"),
     )
+    def ok(approx: str, exact: str):  # 0-row table: 0/0 would be NULL,
+        # not the oracle's literal TRUE — an empty input must read as
+        # "sketch agrees exactly", not as HLL drift (review finding)
+        return F.when(
+            F.col(exact) == 0, F.col(approx) == 0
+        ).otherwise(
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= tol
+        )
+
     return agg.select(
         "exact_users",
-        (F.abs(F.col("approx_users") - F.col("exact_users"))
-         / F.col("exact_users") <= tol).alias("approx_users_ok"),
+        ok("approx_users", "exact_users").alias("approx_users_ok"),
         "exact_types",
-        (F.abs(F.col("approx_types") - F.col("exact_types"))
-         / F.col("exact_types") <= tol).alias("approx_types_ok"),
+        ok("approx_types", "exact_types").alias("approx_types_ok"),
     )
 
 

@@ -88,24 +88,41 @@ def ensure_parquet_fixture(
     out = os.path.join(ARTIFACTS, f"{name}_{fixture_tag(sf_dir)}_{sig}")
     success = os.path.join(out, "_SUCCESS")
     if not os.path.exists(success):
-        # A dir at `out` WITHOUT _SUCCESS is a corpse (pre-hardening
-        # overwrite race, or a session with success markers disabled):
-        # left in place it would fail every future rename with ENOTEMPTY
-        # and the stale possibly-partial dir would be read forever.
-        if os.path.isdir(out):
-            shutil.rmtree(out, ignore_errors=True)
         tmp = f"{out}.build.{_uuid.uuid4().hex}"
         build().write.mode("error").parquet(tmp)
         try:
             os.rename(tmp, out)
         except OSError:
-            # Only a concurrent builder publishing first makes the
-            # rename failure benign — verify the winner's copy is
-            # actually there; otherwise (EACCES, EXDEV, ...) the real
-            # cause must surface, not a later path-not-found.
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(success):
-                raise
+            if os.path.exists(success):
+                # a concurrent builder published first; ours is redundant
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # A dir at `out` WITHOUT _SUCCESS is a corpse
+                # (pre-hardening overwrite race, or markers disabled):
+                # left in place it would fail every rename with
+                # ENOTEMPTY and the stale possibly-partial dir would be
+                # read forever. Handled HERE, not before the build —
+                # a pre-build existence check followed by rmtree would
+                # race the whole build duration against a concurrent
+                # winner and could delete its valid publish (review
+                # finding, round 7). Move the corpse aside atomically
+                # (never rmtree a path a winner might now own), then
+                # retry the publish once.
+                aside = f"{out}.corpse.{_uuid.uuid4().hex}"
+                try:
+                    os.rename(out, aside)
+                except OSError:
+                    pass  # vanished or replaced meanwhile — retry decides
+                shutil.rmtree(aside, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    # a winner slipped in between aside and retry — ours
+                    # is redundant; anything else (EACCES, EXDEV, ...)
+                    # must surface, not a later path-not-found
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(success):
+                        raise
     if not os.path.exists(success):
         raise RuntimeError(
             f"fixture publish left no _SUCCESS marker at {out!r}"

@@ -193,10 +193,18 @@ def drain_available_now(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    prev_nprog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", None)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         shuffle_partitions or DRAIN_SHUFFLE_PARTITIONS,
     )
+    if progress_sink is not None:
+        # recentProgress keeps only the last N updates (default 100) —
+        # a >100-microbatch drain would silently truncate the
+        # per-microbatch contract the soak assertions sum over
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", "100000")
     # One-shot drains emit every row in the data batches themselves; the
     # trailing no-data micro-batch only advances watermarks/evicts state,
     # which a terminating drain doesn't need — skip its fixed cost.
@@ -229,6 +237,14 @@ def drain_available_now(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
+        if progress_sink is not None:
+            if prev_nprog is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.numRecentProgressUpdates")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.numRecentProgressUpdates",
+                    prev_nprog)
         import shutil
 
         shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -114,6 +114,7 @@ def run_stateful_pct_change(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
     idle_timeout: str | None = None,
+    late_horizon: str = "0 seconds",
     progress_sink: list | None = None,
 ) -> DataFrame:
     """Drain the events file source through the stateful operator with
@@ -124,11 +125,19 @@ def run_stateful_pct_change(
     microbatches (tests/test_streaming.py proves the carry-over).
 
     ``idle_timeout`` (e.g. "1 hour") switches to EventTimeTimeout: a
-    watermark column drives eviction of series idle past the horizon —
-    state stays O(live series), not O(series ever seen). The eviction
-    soak test asserts the store actually shrinks via ``progress_sink``.
-    Note the engine's OWN late-data discipline (state never rewinds) is
-    unchanged; the watermark exists to time out idle groups."""
+    watermark drives eviction of series idle past the horizon — state
+    stays O(live series), not O(series ever seen). The eviction soak
+    test asserts the store actually shrinks via ``progress_sink``.
+
+    SEMANTIC DIFFERENCE from the no-timeout path (be explicit — review
+    finding, round 7): EventTimeTimeout requires a stream watermark, and
+    the engine drops rows older than it BEFORE the UDF. The per-key
+    guard (state never rewinds) already drops an old row for a key that
+    has advanced past it; the watermark additionally drops old rows for
+    keys the store has never seen (or has evicted). ``late_horizon``
+    is the admission window for such rows — the standard watermark
+    trade: a wider horizon admits later backfills AND holds idle state
+    proportionally longer before the timeout can fire."""
     ensure_session_confs(spark)
     d = events_ts_divisor(sf_dir, glob)
     reader = (
@@ -141,7 +150,7 @@ def run_stateful_pct_change(
     if idle_timeout is not None:
         raw = raw.withColumn(
             "ts_wm", F.timestamp_micros(F.expr(f"ts div {d}"))
-        ).withWatermark("ts_wm", "0 seconds")
+        ).withWatermark("ts_wm", late_horizon)
         fn = _make_running_pct_change(
             idle_timeout_ms=_interval_ms(spark, idle_timeout), us_divisor=d
         )

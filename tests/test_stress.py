@@ -97,6 +97,16 @@ def _default_subset_cached(sf: str) -> frozenset[str]:
         if e.get("tag") == tag:  # same generation → same subset
             return frozenset(e["names"])
     subset = _next_subset(tag, _names(), ledger)
+    # Re-read immediately before publishing: two concurrent runners with
+    # DIFFERENT new tags would otherwise each append to the same stale
+    # base and the second os.replace would drop the first's entry
+    # (losing one generation's record only delays a re-proof, but the
+    # merge shrinks the window from the whole ranking computation to the
+    # read-write gap). Same-tag runners converge on identical content.
+    ledger = _load_ledger()
+    for e in ledger:
+        if e.get("tag") == tag:  # a same-tag runner won: defer to it
+            return frozenset(e["names"])
     ledger.append({"tag": tag, "names": sorted(subset)})
     # atomic publish: a parallel runner must never read a torn ledger
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_LEDGER), suffix=".tmp")
