@@ -53,6 +53,12 @@ PICKS: tuple[tuple[str, bool], ...] = (
 def main() -> int:
     from pyspark.sql import SparkSession
 
+    if not (os.path.isdir(SF1) and os.path.isdir(SF10)):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import make_organic_corpus  # deterministic, seed 777
+
+        make_organic_corpus.main()
+
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("sweep-organic")
