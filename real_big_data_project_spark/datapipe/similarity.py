@@ -584,40 +584,41 @@ def ensure_brute_topk_fixture(
     )
 
 
-def ann_ivf_topk_multi(
+def ann_ivf_recall_sweep(
     emb: DataFrame,
     query_ids: list[int],
+    truth: DataFrame,
     k: int = 5,
     n_probes: tuple[int, ...] = (1, 2, 4),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "label",
     lists: DataFrame | None = None,
-    pin_lists: bool = True,
     centroids: DataFrame | None = None,
-) -> dict[int, DataFrame]:
-    """IVF top-k at SEVERAL probe settings from ONE corpus scan.
+) -> DataFrame:
+    """IVF recall@k at SEVERAL probe settings from ONE corpus scan —
+    (query_id, n_true, recall_p{p}...) against exact ground truth.
 
     A scan at max(n_probes) covers every candidate any smaller setting
-    would see; each candidate carries the rank of the probe that found it
-    (probe_rank), so the n_probe=p result is exactly the max-probe
-    candidate set filtered to probe_rank <= p, re-ranked. Recall sweeps
-    (q_ann_recall_ivf) therefore price ONE inverted-list scan + one
-    centroid aggregate instead of one per setting — the scored candidate
-    frame (|queries| x n_probe x |corpus|/n_lists rows) is pinned so the
-    per-setting top-k branches don't re-execute the scan.
+    would see; each candidate carries the rank of the probe that found
+    it (probe_rank), so the n_probe=p top-k is the max-probe candidate
+    set restricted to probe_rank <= p, ranked within that subset. The
+    subset ranks all come out of ONE window pass: rows sorted once by
+    (sim DESC, neighbor_id ASC), a conditional running count per
+    setting (rows with probe_rank <= p seen so far) IS the subset
+    row_number for subset members. The whole sweep is therefore one
+    inverted-list scan + one window + one output-sized truth join —
+    no per-setting plan branches to re-analyze or re-execute
+    (predecessor ``ann_ivf_topk_multi`` fanned out a checkpointed
+    candidate frame into three rankings and three recall joins).
 
     Pass ``centroids`` (label, centroid) to skip the centroid aggregate
     entirely — a stored IVF index keeps its coarse quantizer beside the
     lists (clustering.ensure_kmeans_centroids_fixture), so query time
-    prices probe-select + list scan only."""
+    prices probe-select + list scan only. ``truth`` uses the shared
+    (query_id, neighbor_id, ...) top-k contract (ann_brute_topk)."""
     p_max = max(n_probes)
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
-    if lists is not None and pin_lists:
-        # Only worth a checkpoint when `lists` carries expensive lineage
-        # (a live k-means); pass pin_lists=False for a stored assignment —
-        # re-reading parquet beats materializing a checkpoint.
-        vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs) if centroids is None else centroids
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
@@ -635,19 +636,47 @@ def ann_ivf_topk_multi(
                 F.col("label").alias("probe_label"))
     )
     sim = F.round(cosine("qv", "v"), SIM_ROUND)
-    scored = (
-        vecs.join(
-            F.broadcast(probes),
-            (F.col("label") == F.col("probe_label"))
-            & (F.col(id_col) != F.col("query_id")),
-        )
-        .select("query_id", "probe_rank",
-                F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
-        .localCheckpoint(eager=False)  # candidate-sized; fans out per setting
+    scored = vecs.join(
+        F.broadcast(probes),
+        (F.col("label") == F.col("probe_label"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", "probe_rank",
+             F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    run_w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return {
-        p: _topk_per_query(
-            scored.filter(F.col("probe_rank") <= p).drop("probe_rank"), k
+    in_top = [
+        (
+            (F.col("probe_rank") <= p)
+            & (
+                F.sum(
+                    F.when(F.col("probe_rank") <= p, 1).otherwise(0)
+                ).over(run_w)
+                <= k
+            )
         )
+        .cast("int")
+        .alias(f"in_p{p}")
         for p in n_probes
-    }
+    ]
+    hits = (
+        scored.select("query_id", "neighbor_id", *in_top)
+        # union of the per-setting top-k sets: <= |queries| x |settings| x k
+        .filter(sum(F.col(f"in_p{p}") for p in n_probes) > 0)
+    )
+    recalls = [
+        F.round(
+            F.sum(F.coalesce(F.col(f"in_p{p}"), F.lit(0))) / F.count("*"),
+            SIM_ROUND,
+        ).alias(f"recall_p{p}")
+        for p in n_probes
+    ]
+    return (
+        truth.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_true"), *recalls)
+        .orderBy("query_id")
+    )

@@ -1233,19 +1233,10 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = SIM.ensure_brute_topk_fixture(
         spark, sf_dir, RECALL_QUERY_IDS, k=RECALL_K
     )
-    tops = SIM.ann_ivf_topk_multi(
-        emb, RECALL_QUERY_IDS, k=RECALL_K, n_probes=(1, 2, 4), lists=lists,
-        pin_lists=False, centroids=cents,
+    return SIM.ann_ivf_recall_sweep(
+        emb, RECALL_QUERY_IDS, brute, k=RECALL_K, n_probes=(1, 2, 4),
+        lists=lists, centroids=cents,
     )
-    out = SIM.recall_at_k(tops[1], brute).withColumnRenamed(
-        "recall", "recall_p1"
-    )
-    for n_probe in (2, 4):
-        rn = SIM.recall_at_k(tops[n_probe], brute).select(
-            "query_id", F.col("recall").alias(f"recall_p{n_probe}")
-        )
-        out = out.join(rn, "query_id")
-    return out.orderBy("query_id")
 
 
 @register(
