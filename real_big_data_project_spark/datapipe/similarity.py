@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sign_bucket
+from ..functions.vectors import cosine, cosine_given_norms, norm, sign_bucket
 
 SIM_ROUND = 5  # absorb cross-engine float-summation jitter
 PERTURB_EPS = 0.01
@@ -87,13 +87,18 @@ def ann_brute_topk(
     """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
 
     The query side is broadcast (it is a handful of rows); the corpus side
-    streams through a BroadcastNestedLoopJoin — no corpus shuffle.
+    streams through a BroadcastNestedLoopJoin — no corpus shuffle. Norms
+    are precomputed per vector so each scored pair pays one dot fold
+    (cosine_given_norms).
     """
-    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nv", norm("v"))
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
-    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = (
         vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
@@ -163,16 +168,17 @@ def ann_bucket_topk(
     vecs = emb.select(
         F.col(id_col),
         as_double(vec_col).alias("v"),
-    ).withColumn("bucket", sign_bucket("v", dims))
+    ).withColumn("bucket", sign_bucket("v", dims)).withColumn("nv", norm("v"))
     q = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("qn"),
             F.explode(probe_buckets("v", dims, n_probe)).alias("qbucket"),
         )
     )
-    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = (
         vecs.join(
             F.broadcast(q),
@@ -291,7 +297,9 @@ def ann_ivf_topk(
     below (centroid aggregate, query probe, inverted-list scan), and
     without the pin each consumer would re-execute the whole clustering
     — exactly what an offline IVF build materializes in practice."""
-    vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
+    vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
+        "nv", norm("v")
+    )
     if lists is not None:
         # eager=False: pin the lineage cut but defer execution to the
         # first action — building the DataFrame (plan inspection, schema
@@ -299,7 +307,8 @@ def ann_ivf_topk(
         vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs)
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -310,9 +319,9 @@ def ann_ivf_topk(
         .withColumn("csim", csim)
         .withColumn("_rn", F.row_number().over(probe_w))
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qv", F.col("label").alias("probe_label"))
+        .select("query_id", "qv", "qn", F.col("label").alias("probe_label"))
     )
-    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = (
         vecs.join(
             F.broadcast(probes),
@@ -360,22 +369,30 @@ def embedding_near_duplicates(
     (vec_a < vec_b, sim ≥ threshold), candidates limited to vectors whose
     sign buckets match (a true near-duplicate at cosine ≥ 0.9 almost
     surely agrees on every sign; the sign-preserving planted perturbation
-    provably does). One shuffle on the bucket key."""
+    provably does). One shuffle on the bucket key.
+
+    Plan shape: norms are attached per vector (one fold per row) and the
+    scored candidate frame is CUT with a lazy localCheckpoint before the
+    threshold filter — without the cut, Catalyst pushes `sim >= t` into
+    the join condition, where the cosine fold is evaluated per candidate
+    pair inside the join instead of once in a projection (measured ~5x
+    slower at sf0.1). The checkpoint materializes only (id, id, sim) —
+    candidate-sized, bucket-bounded."""
     dims = _resolve_dims(bucket_dims, emb, id_col)
     vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col).withColumn(
         "bucket", sign_bucket("v", dims)
-    )
+    ).withColumn("nv", norm("v"))
     a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                    F.col("bucket").alias("ba"))
+                    F.col("bucket").alias("ba"), F.col("nv").alias("na"))
     b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                    F.col("bucket").alias("bb"))
-    sim = F.round(cosine("va", "vb"), SIM_ROUND)
-    return (
+                    F.col("bucket").alias("bb"), F.col("nv").alias("nb"))
+    sim = F.round(cosine_given_norms("va", "vb", "na", "nb"), SIM_ROUND)
+    scored = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .localCheckpoint(eager=False)
     )
+    return scored.filter(F.col("sim") >= threshold)
 
 
 def knn_graph(
@@ -407,18 +424,20 @@ def knn_graph(
     dims = _resolve_dims(bucket_dims, emb, id_col)
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", sign_bucket("v", dims))
+    ).withColumn("bucket", sign_bucket("v", dims)).withColumn("nv", norm("v"))
     a = vecs.select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
         F.explode(probe_buckets("v", dims, n_probe)).alias("bucket"),
     )
     b = vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v"),
+        F.col("nv"),
         F.col("bucket").alias("nbucket"),
     )
-    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = (
         a.join(
             b,
@@ -466,24 +485,49 @@ def semantic_dedup(
     synthetic corpus, exactly as in embedding_near_duplicates."""
     from .clustering import kmeans_assign
 
-    vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col)
+    # Pin the perturbed corpus: k-means re-reads its input on every
+    # assignment pass (plus the seed TakeOrdered and the keep join), and
+    # the planted-copy union's lineage (offset aggregate + transform)
+    # would otherwise re-execute with each pass.
+    vecs = with_perturbed_copies(
+        emb, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     if k == "auto":
         # one count job — an offline dedup run knows its corpus size anyway
         k = auto_semdedup_k(vecs.count())
     asg = kmeans_assign(vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v")
     lv = vecs.join(
         asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"
-    )
+    ).withColumn("nv", norm("v"))
+    # Pin the labeled vectors: `lv` fans out into both sides of the pair
+    # join AND the final keep join, and its lineage is the full live
+    # k-means (two broadcast-centroid assignment passes over the corpus)
+    # — unpinned, Spark re-executes that clustering three times. An
+    # offline SemDeDup run stores its assignment for the same reason.
+    # The norm rides along so the pinned frame carries it precomputed.
+    lv = lv.localCheckpoint(eager=False)
     a = lv.select(F.col("vec_id").alias("_ia"), F.col("v").alias("va"),
-                  F.col("label").alias("la"))
+                  F.col("label").alias("la"), F.col("nv").alias("na"))
     b = lv.select(F.col("vec_id").alias("_ib"), F.col("v").alias("vb"),
-                  F.col("label").alias("lb"))
+                  F.col("label").alias("lb"), F.col("nv").alias("nb"))
+    # Aggregate the per-candidate MAX similarity instead of
+    # filter-then-distinct: a filter on the pair sim gets pushed into
+    # the join condition, where the cosine fold is evaluated inside the
+    # join loop (interpreted, per pair — measured 5x slower than the
+    # same fold in a projection at sf0.1). The max-aggregate consumes
+    # the projected sim, keeps the join condition to the cheap
+    # label/id comparisons, and map-side-combines to one row per
+    # candidate before the shuffle. NULL sims (zero-norm vectors) are
+    # ignored by MAX, matching the filter's NULL-drops semantics.
+    sim = cosine_given_norms("va", "vb", "na", "nb")
     dup = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("_ib") < F.col("_ia")))
-        .withColumn("sim", F.round(cosine("va", "vb"), SIM_ROUND))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("_ia").alias("vec_id"))
-        .distinct()
+        .select(F.col("_ia").alias("vec_id"),
+                F.round(sim, SIM_ROUND).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("_max_sim"))
+        .filter(F.col("_max_sim") >= threshold)
+        .select("vec_id")
     )
     return (
         lv.join(dup.withColumn("_dup", F.lit(True)), on="vec_id", how="left")
@@ -618,10 +662,13 @@ def ann_ivf_recall_sweep(
     prices probe-select + list scan only. ``truth`` uses the shared
     (query_id, neighbor_id, ...) top-k contract (ann_brute_topk)."""
     p_max = max(n_probes)
-    vecs = _with_lists(emb, id_col, vec_col, list_col, lists)
+    vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
+        "nv", norm("v")
+    )
     cents = _centroids(vecs) if centroids is None else centroids
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -632,10 +679,10 @@ def ann_ivf_recall_sweep(
         .withColumn("csim", csim)
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= p_max)
-        .select("query_id", "qv", "probe_rank",
+        .select("query_id", "qv", "qn", "probe_rank",
                 F.col("label").alias("probe_label"))
     )
-    sim = F.round(cosine("qv", "v"), SIM_ROUND)
+    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = vecs.join(
         F.broadcast(probes),
         (F.col("label") == F.col("probe_label"))

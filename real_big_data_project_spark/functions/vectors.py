@@ -36,6 +36,22 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def cosine_given_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """``cosine`` with both norms precomputed as columns. The plain
+    ``cosine`` expression folds each array THREE times per evaluation
+    (dot + each norm in both the zero-guard and the value — interpreted
+    HOF folds get no common-subexpression elimination), so a pair join
+    pays five folds per candidate pair. Attaching ``norm(v)`` to each
+    side ONCE (corpus-sized, one fold per row) drops per-pair work to
+    the single dot fold — measured 5x on the SemDeDup within-cluster
+    scoring at sf0.1. Bit-identical: the norm column carries the exact
+    same double the inline subtree would produce."""
+    na, nb = _c(na), _c(nb)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def sign_bucket(a: Column | str, dims: list[int]) -> Column:
     """Deterministic LSH-ish bucket: concatenated sign bits of fixed
     dimensions. Cheap, portable to SQL (the oracle reproduces it), and a
