@@ -704,3 +704,29 @@ def test_simjoin_prefix_partitioning_invariant(spark, sf_dir):
     b = sorted(map(tuple,
                    simjoin_prefix(docs.repartition(7), 0.5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cosine_given_norms_bit_equals_inline_cosine(spark, sf_dir):
+    """The precomputed-norms fast path must carry the exact doubles the
+    inline cosine subtree produces — the whole ANN/dedup family's oracle
+    parity rests on it (functions/vectors.py::cosine_given_norms)."""
+    from real_big_data_project_spark.functions.vectors import (
+        cosine, cosine_given_norms, norm)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", SIM.as_double("embedding").alias("v")
+    ).withColumn("nv", norm("v"))
+    a = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+                    F.col("nv").alias("na"))
+    b = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+                    F.col("nv").alias("nb"))
+    pairs = a.join(b, F.col("ia") % 97 == F.col("ib") % 89)  # arbitrary mix
+    diff = pairs.select(
+        cosine("va", "vb").alias("slow"),
+        cosine_given_norms("va", "vb", "na", "nb").alias("fast"),
+    ).filter(
+        # null-safe equality: both-NULL (zero-norm guard) counts as equal
+        ~F.col("slow").eqNullSafe(F.col("fast"))
+    )
+    assert diff.count() == 0
