@@ -273,6 +273,36 @@ def ivf_centroids(
     return _centroids(_with_lists(emb, id_col, vec_col, list_col, lists))
 
 
+def _probe_select(
+    vecs: DataFrame,
+    query_ids: list[int],
+    cents: DataFrame,
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF probe selection: (query_id, qv, qn, probe_rank,
+    probe_label) — each query's ``n_probe`` nearest centroids under the
+    total ordering (rounded sim DESC, label ASC). Both the serving path
+    (ann_ivf_topk) and the recall sweep (ann_ivf_recall_sweep) MUST rank
+    probes through this one function, or the sweep would grade a
+    different probe set than the index serves."""
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine("qv", "centroid"), SIM_ROUND))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qv", "qn", "probe_rank",
+                F.col("label").alias("probe_label"))
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -306,20 +336,8 @@ def ann_ivf_topk(
         # checks) must not run the k-means job.
         vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs)
-    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-    )
-    csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("label").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("_rn", F.row_number().over(probe_w))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qv", "qn", F.col("label").alias("probe_label"))
+    probes = _probe_select(vecs, query_ids, cents, n_probe, id_col).drop(
+        "probe_rank"
     )
     sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = (
@@ -665,23 +683,15 @@ def ann_ivf_recall_sweep(
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
         "nv", norm("v")
     )
+    if lists is not None:
+        # Same pin as ann_ivf_topk: `vecs` fans out into the centroid
+        # aggregate (when centroids is None), the query-side probe, and
+        # the inverted-list scan — a live k-means lineage would re-run
+        # once per consumer without the cut. eager=False: defer the job
+        # to the first action.
+        vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs) if centroids is None else centroids
-    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-    )
-    csim = F.round(cosine("qv", "centroid"), SIM_ROUND)
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("label").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= p_max)
-        .select("query_id", "qv", "qn", "probe_rank",
-                F.col("label").alias("probe_label"))
-    )
+    probes = _probe_select(vecs, query_ids, cents, p_max, id_col)
     sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
     scored = vecs.join(
         F.broadcast(probes),

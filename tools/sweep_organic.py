@@ -53,7 +53,16 @@ PICKS: tuple[tuple[str, bool], ...] = (
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    if not (os.path.isdir(SF1) and os.path.isdir(SF10)):
+    # Guard on the actual tables, not the dirs: a generator crash after
+    # makedirs but before the last write would otherwise suppress
+    # regeneration forever while every load_table fails.
+    def _complete(d: str) -> bool:
+        return all(
+            os.path.exists(os.path.join(d, t))
+            for t in ("documents.parquet", "embeddings.parquet")
+        )
+
+    if not (_complete(SF1) and _complete(SF10)):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import make_organic_corpus  # deterministic, seed 777
 
