@@ -397,3 +397,19 @@ def test_dashboard_session_composes_lazily(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "q_dashboard_session")
     assert "BroadcastHashJoin" in plan  # company pick joins broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_sweep_is_one_window_pass(qmap, spark, sf_dir):
+    # Round-7 fused sweep contract: ALL probe settings rank through ONE
+    # window over one candidate scan (conditional running counts), not
+    # a per-setting plan fan-out — the predecessor re-ranked and
+    # re-joined per n_probe. Exactly two Window exec nodes: probe
+    # selection's row_number and the fused running-count pass (a third
+    # means the per-setting fan-out regressed). WindowGroupLimit nodes
+    # are the rank-limit pushdown, not extra passes.
+    import re
+
+    plan = plan_of(qmap, spark, sf_dir, "q_ann_recall_ivf")
+    n_window = len(re.findall(r"\bWindow \[", plan))
+    assert n_window == 2, f"{n_window} Window exec nodes"
+    assert "CartesianProduct" not in plan
