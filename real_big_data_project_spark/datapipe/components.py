@@ -88,6 +88,12 @@ def connected_components(
     far beyond the intended scale, and wrong-but-silent labels are worse
     than a loud failure.
     """
+    # Pin the incoming lineage ONCE: `nodes` and `cur` below each take an
+    # eager checkpoint, and without this cut the caller's candidate
+    # pipeline (an LSH band join, typically the most expensive upstream
+    # stage) executes twice — measured 2.6 s doubled at sf0.1. Lazy: the
+    # first action (nodes' eager checkpoint) materializes it.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
