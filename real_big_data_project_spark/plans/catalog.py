@@ -50,25 +50,42 @@ def register(name: str, oracle: str | None, description: str = "",
 # The priority prefix rotates each round: new/changed queries lead (a green
 # prior-round row does not certify new output), then the LEAST-recently
 # gated queries, so every catalog entry is periodically re-proven on
-# current-generation testdata.  Round-7 prefix (tools/gen_rotation.py):
-# the two queries whose OUTPUT or CODE changed this round lead —
-# q_approx_distinct (now emits oracle-checkable tolerance booleans
-# instead of raw sketch values, VERDICT r6 item 6) and q_ann_recall_ivf
-# (stored-centroid fixture, item 3) — then the r6 staleness tail
-# oldest-first: q_union_all (r02, the stalest row in the repo), the 18
-# r03-era rows (incl. the five streaming drains), and r04-era rows to
-# fill the 50-slot sample. Done-bar per VERDICT item 2: after this
-# round's gate, no catalog query's latest green row predates r04.
+# current-generation testdata.  Round-7 prefix: first every query whose
+# CODE or OUTPUT changed this round — q_approx_distinct (tolerance
+# booleans, VERDICT r6 item 6), q_ann_recall_ivf (stored-centroid
+# fixture + fused one-window sweep, item 3), the cosine-norms /
+# MAX-aggregate ANN+embedding family rewrites, q_simjoin_prefix
+# ((df,shingle) ordering + array verify), the connected-components
+# lineage pin, and q_kmeans (oracle now interpolates DIST_ROUND) —
+# then the r6 staleness tail oldest-first: q_union_all (r02, the
+# stalest row in the repo) and the 18 r03-era rows (incl. the five
+# streaming drains), and r04-era rows to fill the 50-slot sample.
+# Done-bar per VERDICT r6 item 2: after this round's gate, no catalog
+# query's latest green row predates r04 (the r04-era entries that no
+# longer fit the sample already hold r04 rows, which meets the bar).
 _RISKIEST: tuple[str, ...] = (
-    "q_approx_distinct",  # last green r04
-    "q_ann_recall_ivf",  # last green r05
+    # -- changed this round --
+    "q_approx_distinct",
+    "q_ann_recall_ivf",
+    "q_simjoin_prefix",
+    "q_dedup_components",
+    "q_dedup_components_incremental",
+    "q_semantic_dedup",
+    "q_dedup_embedding",
+    "q_ann_ivf",
+    "q_ann_topk",
+    "q_ann_bucket",
+    "q_ann_recall",
+    "q_ann_recall_sq8",
+    "q_knn_graph",
+    "q_kmeans",
+    "q_dedup_recall",  # truth-fixture key now folds tokenizer constants
+    # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
     "q_corpus_shuffle",  # last green r03
-    "q_dedup_embedding",  # last green r03
     "q_dedup_incremental",  # last green r03
     "q_filter_funnel",  # last green r03
-    "q_knn_graph",  # last green r03
     "q_ntile_deciles",  # last green r03
     "q_pii_scrub",  # last green r03
     "q_scan_excel",  # last green r03
@@ -81,7 +98,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_tags_resolve",  # last green r03
     "q_train_test_split",  # last green r03
     "q_trend_slope_sql",  # last green r03
-    "q_ann_recall_sq8",  # last green r04
+    # -- r04-era fill --
     "q_catalog_tables",  # last green r04
     "q_corr_stats",  # last green r04
     "q_cube",  # last green r04
@@ -100,16 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_pivot_wide",  # last green r04
     "q_quantile_bucket",  # last green r04
     "q_rank_functions",  # last green r04
-    "q_recursive_ancestry",  # last green r04
-    "q_scan_csv_quarantine",  # last green r04
-    "q_scan_jsonl",  # last green r04
-    "q_scan_mixed_dir",  # last green r04
-    "q_scan_orc",  # last green r04
-    "q_scd2_intervals",  # last green r04
-    "q_semantic_dedup",  # last green r04
-    "q_sessionize",  # last green r04
-    "q_simjoin_prefix",  # last green r04
-    "q_snapshot_diff",  # last green r04
 )
 
 
