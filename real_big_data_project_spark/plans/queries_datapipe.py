@@ -1585,8 +1585,13 @@ def q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         .drop("m")
     )
     # only the BATCH hashes fresh; the corpus side comes from the stored
-    # band index
-    batch_bands = DT.minhash_band_keys(DT.minhash_components(batch, 3))
+    # band index. Pin the compact per-doc signature: batch_bands feeds
+    # BOTH sides of the candidate join (directly, and through bands_all),
+    # and unpinned the batch minhash pipeline hashes twice — neutral at
+    # the test scale (the planted batch is ~2k docs) but a real cost for
+    # a production-sized daily increment.
+    batch_sig = DT.minhash_components(batch, 3).localCheckpoint(eager=False)
+    batch_bands = DT.minhash_band_keys(batch_sig)
     bands_all = corpus_bands.unionByName(batch_bands)
     # batch-incident candidates only: batch bands × full band index —
     # |batch| × bucket work, never corpus × corpus
