@@ -80,6 +80,9 @@ _RISKIEST: tuple[str, ...] = (
     "q_knn_graph",
     "q_kmeans",
     "q_dedup_recall",  # truth-fixture key now folds tokenizer constants
+    "q_dedup_simhash",  # signature pinned once across the band self-join
+    "q_dedup_minhash_lsh",  # same signature pin
+    "q_dedup_ngram_jaccard",  # shingle sets pinned across verify sides
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -114,9 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_min_price_supplier",  # last green r04
     "q_pagerank",  # last green r04
     "q_percentiles",  # last green r04
-    "q_pivot_wide",  # last green r04
-    "q_quantile_bucket",  # last green r04
-    "q_rank_functions",  # last green r04
 )
 
 
