@@ -425,28 +425,40 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     # the full document string into every one of its ~n_chars rows
     # (measured 2.5× slower). The md5 + sample predicate — the actual hot
     # path — runs codegen'd after the explode.
-    grams = docs.select(
+    # content_fp is hashed BEFORE the explode (the exploded rows then carry
+    # nothing doc-sized), and — the load-bearing shape — the 1/16 sample
+    # predicate runs as a FILTER between the explode and the collect_list
+    # aggregate, so the object hash-agg sees ~n_grams/16 rows instead of
+    # every gram as a NULL entry (the agg, not the md5, dominated: 16×
+    # fewer rows through ObjectHashAggregate). Docs whose sample is empty
+    # drop out of the aggregate, so the per-doc frame left-joins the
+    # sampled lists back (a doc-count-sized shuffle, not a gram-sized one)
+    # and empty samples fingerprint as md5('') exactly like the oracle's
+    # coalesce.
+    per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("_norm"),
-    ).select(
+    ).select("doc_id", "_norm", F.md5("_norm").alias("content_fp"))
+    grams = per_doc.select(
         "doc_id",
-        "_norm",
         F.explode(F.transform(
             F.sequence(F.lit(1), n_grams),
             lambda i: F.substring(F.col("_norm"), i, F.lit(WINNOW_GRAM_CHARS)),
         )).alias("g"),
+    ).filter(F.substring(F.md5("g"), 1, 1) == "0")
+    sampled = grams.groupBy("doc_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("g"))).alias("_sampled")
     )
-    sampled = F.array_sort(F.array_distinct(F.collect_list(
-        F.when(F.substring(F.md5("g"), 1, 1) == "0", F.col("g"))
-    )))
     return (
-        grams.groupBy("doc_id")
-        .agg(F.first("_norm").alias("_norm"), sampled.alias("_sampled"))
+        per_doc.drop("_norm")
+        .join(sampled, "doc_id", "left")
         .select(
             "doc_id",
-            F.md5("_norm").alias("content_fp"),
-            F.md5(F.array_join("_sampled", "|")).alias("winnow_fp"),
-            F.size("_sampled").cast("bigint").alias("n_sampled_grams"),
+            "content_fp",
+            F.md5(F.coalesce(F.array_join("_sampled", "|"), F.lit("")))
+            .alias("winnow_fp"),
+            F.coalesce(F.size("_sampled"), F.lit(0))
+            .cast("bigint").alias("n_sampled_grams"),
         )
     )
 

@@ -56,18 +56,22 @@ def pagerank(
         F.count("*").alias("outdeg")
     ).localCheckpoint()
     n = deg.agg(F.count("*").alias("n_nodes"))
+    # ranks carries the node's outdeg (it is built FROM deg either way):
+    # the per-iteration contribution pass then pays ONE broadcast join
+    # over the edges instead of two — on a cluster that halves the
+    # broadcast-probe work against the only |E|-sized frame in the loop.
     ranks = (
         deg.crossJoin(F.broadcast(n))
         .select(
             F.col("dnode").alias("node"),
             F.round(F.lit(1.0) / F.col("n_nodes"), round_dp).alias("pr"),
+            "outdeg",
         )
         .localCheckpoint()
     )
     for _ in range(iters):
         contrib = (
             edges.join(F.broadcast(ranks), F.col(src) == F.col("node"))
-            .join(F.broadcast(deg), F.col(src) == F.col("dnode"))
             .groupBy(F.col(dst).alias("cnode"))
             .agg(
                 F.sum(
@@ -90,7 +94,8 @@ def pagerank(
                     * F.coalesce(F.col("contrib"), F.lit(0.0)),
                     round_dp,
                 ).alias("pr"),
+                "outdeg",
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "pr")

@@ -83,6 +83,10 @@ _RISKIEST: tuple[str, ...] = (
     "q_dedup_simhash",  # signature pinned once across the band self-join
     "q_dedup_minhash_lsh",  # same signature pin
     "q_dedup_ngram_jaccard",  # shingle sets pinned across verify sides
+    "q_doc_fingerprint",  # sample filter moved BEFORE the collect_list agg
+    "q_corpus_select",  # one combined text scan, pinned, replaces three
+    "q_decontaminate",  # exploded shingle pairs pinned across train/eval
+    "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -113,10 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_incremental_ohlcv",  # last green r04
     "q_linreg_train",  # last green r04
     "q_median_mode",  # last green r04
-    "q_merge_upsert",  # last green r04
-    "q_min_price_supplier",  # last green r04
-    "q_pagerank",  # last green r04
-    "q_percentiles",  # last green r04
 )
 
 

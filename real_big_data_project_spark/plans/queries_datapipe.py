@@ -868,16 +868,24 @@ _SQL_QUALITY = r"""
     tags=("datapipe",),
 )
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import fingerprint
+    from ..functions.text import fingerprint, lang_guess, quality_score, token_count
 
     docs = R.load_table(spark, sf_dir, "documents")
-    stats = CP.text_stats(docs).select("doc_id", "n_tokens", "quality")
-    langs = CP.lang_id(docs).select("doc_id", "lang_guess")
-    fps = docs.select(F.col("doc_id"), fingerprint("text").alias("fp"))
-    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # ONE pass over the text computes every per-doc signal (the regex
+    # tokenizations dominate; three separate scans re-joined on doc_id
+    # paid them three times), pinned because two consumers need it: the
+    # corpus-wide keeper aggregate (dedup policy ranges over ALL docs,
+    # selected or not) and the selection filter itself.
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    ).localCheckpoint(eager=False)
+    keepers = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return (
-        stats.join(langs, "doc_id")
-        .join(keepers.select("doc_id"), "doc_id")
+        base.join(keepers.select("doc_id"), "doc_id")
         .filter(
             (F.col("quality") >= 0.7)
             & (F.col("lang_guess") == "en")
@@ -2047,11 +2055,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     offset_df = docs.agg(F.max("doc_id").alias("_mx"))
     corpus = CP.with_near_duplicates(docs)
-    sh = DT.exploded_shingles(corpus, 3)
-    sh = sh.crossJoin(F.broadcast(offset_df))
-    train = sh.filter(F.col("doc_id") <= F.col("_mx")).select("doc_id", "shingle")
+    # Pin the exploded (doc_id, shingle, is_eval) pairs ONCE: the train
+    # and eval branches are the asymmetric sides of one self-join, and
+    # unpinned the whole shingle build (scan → planted-corpus union →
+    # posexplode → lead window) executed twice — no ReusedExchange
+    # covers it because each branch filters a different id range.
+    sh = (
+        DT.exploded_shingles(corpus, 3)
+        .crossJoin(F.broadcast(offset_df))
+        .select("doc_id", "shingle",
+                (F.col("doc_id") > F.col("_mx")).alias("_is_eval"))
+        .localCheckpoint(eager=False)
+    )
+    train = sh.filter(~F.col("_is_eval")).select("doc_id", "shingle")
     eval_sh = (
-        sh.filter(F.col("doc_id") > F.col("_mx")).select("shingle").distinct()
+        sh.filter(F.col("_is_eval")).select("shingle").distinct()
         .withColumn("_hit", F.lit(1))
     )
     hits = (
