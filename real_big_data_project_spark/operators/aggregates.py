@@ -27,6 +27,7 @@ def ohlcv_daily(
     volume: str = "volume",
     tiebreak: str | None = None,
     day_alias: str = "day",
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """A1/A2/A3 — per (key, calendar day): open/high/low/close/volume/mean.
 
@@ -43,6 +44,10 @@ def ohlcv_daily(
 
     At 100 TB the input should be date-partitioned parquet so the day
     grouping co-locates with partition pruning.
+
+    ``extra_aggs`` ride the SAME (key, day) aggregate — a caller that
+    needs one more per-group statistic (e.g. the daystocks std) must not
+    pay a second shuffle plus a join for it.
     """
     o = _ord(ts, tiebreak)
     out = (
@@ -54,6 +59,7 @@ def ohlcv_daily(
             F.max(price).alias("high"),
             F.min(price).alias("low"),
             F.sum(volume).alias("volume"),
+            *(extra_aggs or []),
         )
         .withColumn(
             "mean",

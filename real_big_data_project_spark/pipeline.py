@@ -158,16 +158,13 @@ def build_daystocks(stocks: DataFrame, tiebreak: str | None = None) -> DataFrame
     bars = ohlcv_daily(
         stocks, key="cid", ts="date", price="value", volume="volume",
         day_alias="day", tiebreak=tiebreak,
+        # std rides the same single (cid, day) aggregate — a separate
+        # groupBy + join re-executed the whole fact lineage a second time.
+        extra_aggs=[F.stddev_samp("value").alias("std")],
     )
-    std = stocks.groupBy(
-        F.col("cid"), F.col("date").cast("date").alias("day")
-    ).agg(F.stddev_samp("value").alias("std"))
-    return (
-        bars.join(std, on=["cid", "day"])
-        .select(
-            F.col("day").alias("date"), "cid", "open", "close", "high",
-            "low", "volume", "mean", "std",
-        )
+    return bars.select(
+        F.col("day").alias("date"), "cid", "open", "close", "high",
+        "low", "volume", "mean", "std",
     )
 
 
@@ -249,10 +246,16 @@ def run_pipeline(
     (e.g. two scrape files sharing a second); without it, open/close and
     the compression mask are nondeterministic on such feeds.
     """
-    clean = clean_snapshots(raw_snapshots)
+    # Lineage pins (README: multi-consumer frames): `clean` feeds both the
+    # dimension build and the fact path, and `companies` is broadcast into
+    # the facts AND returned to callers — unpinned, one daystocks action
+    # re-executed the snapshot cleansing pass up to three times (dim build,
+    # fact stamp, caller's dim join). Lazy pins materialize each once.
+    clean = clean_snapshots(raw_snapshots).localCheckpoint(eager=False)
     companies = build_companies(clean)
     if euronext is not None:
         companies = build_companies(clean_euronext(euronext), existing=companies)
+    companies = companies.localCheckpoint(eager=False)
     tick_cols = ["norm_symbol", "ts", "value", "volume"]
     if tick_tiebreak:
         tick_cols.append(tick_tiebreak)

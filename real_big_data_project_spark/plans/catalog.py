@@ -87,6 +87,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_corpus_select",  # one combined text scan, pinned, replaces three
     "q_decontaminate",  # exploded shingle pairs pinned across train/eval
     "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
+    "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -116,7 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_heavy_hitters",  # last green r04
     "q_incremental_ohlcv",  # last green r04
     "q_linreg_train",  # last green r04
-    "q_median_mode",  # last green r04
 )
 
 
