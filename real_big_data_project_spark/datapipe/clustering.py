@@ -42,16 +42,26 @@ def _sq_l2(a: str, b: str) -> F.Column:
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cluster, dist): nearest centroid per vector — broadcast
     cross join (k rows per vector), rounded-distance argmin, cluster-index
-    tiebreak."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cluster").asc()
-    )
+    tiebreak.
+
+    The argmin is a `min(struct(dist, cluster, v))` aggregate, not a
+    row_number window: per vec_id all k candidate rows differ in
+    `cluster`, so the struct's (dist, cluster) prefix is a total order
+    and its min IS the rounded-distance argmin with the cluster
+    tiebreak. Unlike the window (which shuffles all corpus×k candidate
+    rows), the aggregate collapses the k candidates map-side and
+    shuffles one row per vector."""
+    best = F.min(F.struct("dist", "cluster", "v")).alias("_b")
     return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("dist", F.round(_sq_l2("v", "c"), DIST_ROUND))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "cluster", "dist")
+        .groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id", F.col("_b.v").alias("v"),
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.dist").alias("dist"),
+        )
     )
 
 
