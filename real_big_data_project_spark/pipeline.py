@@ -107,7 +107,13 @@ def build_companies(
         return fresh.select("id", "name", "mid",
                             F.col("norm_symbol").alias("symbol"), "isin")
 
-    ex = existing.select("id", "name", "mid", F.col("symbol"), "isin")
+    # `ex` is referenced three times below (ISIN resolve, known-symbol
+    # union, carried-over anti-join); pin the dim-sized frame once so an
+    # expensive `existing` lineage (itself a build_companies output in
+    # the euronext path) does not execute per reference.
+    ex = existing.select(
+        "id", "name", "mid", F.col("symbol"), "isin"
+    ).localCheckpoint(eager=False)
 
     # J3: adopt ids by ISIN; incoming attributes win.
     with_isin = cand.filter(F.col("isin").isNotNull())

@@ -88,6 +88,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_decontaminate",  # exploded shingle pairs pinned across train/eval
     "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
     "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
+    "q_daily_stats_table",  # day_std migrated into the OHLCV extra_aggs
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -116,7 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_having_large_orders",  # last green r04
     "q_heavy_hitters",  # last green r04
     "q_incremental_ohlcv",  # last green r04
-    "q_linreg_train",  # last green r04
 )
 
 

@@ -972,14 +972,13 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_daily_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.events_with_volume(spark, sf_dir)
-    bars = A.ohlcv_daily(
+    daily = A.ohlcv_daily(
         ev, key="user_id", ts="ts", price="value", volume="volume",
         day_alias="trade_date", tiebreak="event_id",
+        # the intraday std rides the same (user_id, day) aggregate — a
+        # separate groupBy+join re-executed the events lineage twice
+        extra_aggs=[F.round(F.stddev_samp("value"), 6).alias("day_std")],
     ).drop("mean")
-    std = ev.groupBy(
-        F.col("user_id"), F.col("ts").cast("date").alias("trade_date")
-    ).agg(F.round(F.stddev_samp("value"), 6).alias("day_std"))
-    daily = bars.join(std, on=["user_id", "trade_date"])
     out = W.lag_pct_change(daily, key="user_id", ts="trade_date", price="close")
     return out.select(
         "user_id", "trade_date", "open", "close", "high", "low",

@@ -2055,21 +2055,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     offset_df = docs.agg(F.max("doc_id").alias("_mx"))
     corpus = CP.with_near_duplicates(docs)
-    # Pin the exploded (doc_id, shingle, is_eval) pairs ONCE: the train
-    # and eval branches are the asymmetric sides of one self-join, and
-    # unpinned the whole shingle build (scan → planted-corpus union →
-    # posexplode → lead window) executed twice — no ReusedExchange
-    # covers it because each branch filters a different id range.
-    sh = (
-        DT.exploded_shingles(corpus, 3)
-        .crossJoin(F.broadcast(offset_df))
-        .select("doc_id", "shingle",
-                (F.col("doc_id") > F.col("_mx")).alias("_is_eval"))
-        .localCheckpoint(eager=False)
-    )
-    train = sh.filter(~F.col("_is_eval")).select("doc_id", "shingle")
+    # The train and eval branches are the asymmetric sides of one
+    # self-join over the same shingle build. NOT pinned: the shared
+    # frame is the exploded corpus×shingles — the README pin rule's
+    # explicit counter-case (a checkpoint materializes the largest
+    # frame in the query; measured neutral at sf0.1, and the rebuild
+    # streams where the pin would occupy block-manager storage).
+    sh = DT.exploded_shingles(corpus, 3).crossJoin(F.broadcast(offset_df))
+    train = sh.filter(F.col("doc_id") <= F.col("_mx")).select("doc_id", "shingle")
     eval_sh = (
-        sh.filter(F.col("_is_eval")).select("shingle").distinct()
+        sh.filter(F.col("doc_id") > F.col("_mx")).select("shingle").distinct()
         .withColumn("_hit", F.lit(1))
     )
     hits = (
@@ -2127,6 +2122,11 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("w1", "w2")
     )
+    # `big` feeds the unigram re-aggregate AND the join's left side, but
+    # no pin: both consumers share the byte-identical subtree up to
+    # big's Exchange(w1, w2), so ReusedExchange already executes the
+    # token-level explode+window+count once — only the vocab²-sized
+    # final merge runs per consumer (README pin rule).
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
     uni = big.groupBy("w1").agg(F.sum("n12").alias("n1"))
     return (
