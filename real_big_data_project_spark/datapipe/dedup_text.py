@@ -229,11 +229,13 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b, jaccard ≥ threshold). Jaccard is |∩|/|∪| of distinct
     shingle sets — integer-ratio arithmetic, so bit-identical across
     engines. Joins shingle sets to the (small) candidate set; never O(n²)."""
-    # Both verification sides read the shingle sets — pin once or the
-    # explode+window+collect_set pipeline executes per side.
-    sh = shingle_sets(docs, n_shingle, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    # Both verification sides read the shingle sets but the frame is NOT
+    # pinned: its values are corpus-sized token arrays, and at organic
+    # sf10 the pin measured ~25% SLOWER than recomputing the streaming
+    # explode+collect_set per side (checkpoint IO + block-manager
+    # residency the session then carries) — the pin rule's value-width
+    # counter-case, same verdict as the exploded-band pin.
+    sh = shingle_sets(docs, n_shingle, id_col, text_col)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = (
@@ -329,13 +331,14 @@ def simhash_near_pairs(
     component-dedup consumes. Default None = exact (oracle-mirrored).
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    # Pin the compact per-doc signature (see minhash_lsh_candidates for
-    # why the pin sits BEFORE the band explode): the self-join reads it
-    # from both sides, and unpinned the token-explode + md5 + 64-vote
-    # aggregate runs twice. Measured 3.9 → 2.9 s warm at sf0.1.
-    sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    # NOT pinned: the band self-join's two sides are byte-identical
+    # subtrees over the signature frame, so ReusedExchange already
+    # executes the token-explode + md5 + 64-vote aggregate once. The
+    # round-7 pin here measured ~10% slower at organic sf10 (and its
+    # apparent sf0.1 win was within the ±1 s noise band) — reverted on
+    # measurement; contrast minhash_lsh_candidates, whose 8-int
+    # signature pin measured a real win on the same sweep.
+    sig = simhash_signatures(docs, id_col, text_col)
     band_keys = F.array(*[
         F.concat(F.lit(f"b{i}:"), F.substring("sig", i * width + 1, width))
         for i in range(SIMHASH_BANDS)

@@ -89,6 +89,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
     "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
     "q_daily_stats_table",  # day_std migrated into the OHLCV extra_aggs
+    "q_datapipe_e2e",  # one-scan restatement (q_corpus_select's shape)
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -114,7 +115,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_dq_expectations",  # last green r04
     "q_ewma_daily",  # last green r04
     "q_gapfill_locf",  # last green r04
-    "q_having_large_orders",  # last green r04
     "q_heavy_hitters",  # last green r04
     "q_incremental_ohlcv",  # last green r04
 )

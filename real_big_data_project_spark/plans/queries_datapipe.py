@@ -1876,20 +1876,28 @@ def _sql_datapipe_e2e() -> str:
 def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.selection import rate_to_hex_threshold
     from ..functions.hashing import normalized_tokens
-    from ..functions.text import fingerprint
+    from ..functions.text import fingerprint, lang_guess, quality_score, token_count
 
     docs = R.load_table(spark, sf_dir, "documents")
-    stats = CP.text_stats(docs).select("doc_id", "n_tokens", "quality")
-    langs = CP.lang_id(docs).select("doc_id", "lang_guess")
-    fps = docs.select(F.col("doc_id"), fingerprint("text").alias("fp"))
-    keepers = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # Same one-scan restatement as q_corpus_select: every per-doc signal
+    # in a single pinned projection (the regex tokenizations dominate);
+    # the keeper aggregate and the selection filter consume the pin. The
+    # chunking stage below re-reads `text` — tokens are corpus-sized, so
+    # THAT column stays out of the pin by design.
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    ).localCheckpoint(eager=False)
+    keepers = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
     sample_key = F.substring(
         F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
     )
     selected = (
-        stats.join(langs, "doc_id")
-        .join(keepers.select("doc_id"), "doc_id")
+        base.join(keepers.select("doc_id"), "doc_id")
         .filter(
             (F.col("quality") >= 0.7)
             & (F.col("lang_guess") == "en")

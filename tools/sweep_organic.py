@@ -7,12 +7,18 @@ make_organic_corpus.py) — so a plan whose candidate generation is
 blocked/bucketed correctly must land at a ratio near ~10, with no
 planted-pair-inflation disclaimer available to excuse anything higher.
 
-Protocol matches sweep_sf10.py: per (query, scale) an UNTIMED warm pass
-first (fixture builds, shuffle reuse, JIT), then one timed pass; ratio =
-t_sf10 / t_sf1, flagged above 12 (the VERDICT done-bar: "every dedup
-ratio ≤ ~12x for 10x rows"). DuckDB oracles run at organic_sf1 where the
-mirror is tractable — proving the plans are CORRECT on the fresh-entropy
-corpus, not just fast (the driver gate only ever sees /root/testdata).
+Protocol (round-7 hardening): each pick runs in its OWN subprocess —
+fresh JVM, fresh block manager. One long shared session accumulates
+localCheckpoint blocks and GC debt from the 40M-pair picks, and every
+pick AFTER them inflates unpredictably (the same semantic-dedup leg
+measured 8 s and 54 s across two otherwise-quiet shared-session runs;
+one sweep showed knn's sf1 leg slower than its sf10 leg). Inside the
+subprocess the per-(query, scale) protocol is unchanged: an UNTIMED
+warm pass (fixture builds, shuffle reuse, JIT), then best-of-2 timed
+passes; ratio = t_sf10 / t_sf1, flagged above 12 (the VERDICT
+done-bar). DuckDB oracles run at organic_sf1 where the mirror is
+tractable — proving the plans are CORRECT on the fresh-entropy corpus,
+not just fast (the driver gate only ever sees /root/testdata).
 
 Output: _artifacts/sweep_organic.json
 """
@@ -21,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,6 +37,7 @@ SF1 = os.path.join(REPO, "_artifacts", "organic_sf1")
 SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
 OUT = os.path.join(REPO, "_artifacts", "sweep_organic.json")
 RATIO_FLAG = 12.0  # the VERDICT done-bar for 10x rows
+SINGLE_TIMEOUT_S = 1800
 
 # (query, oracle_at_organic_sf1) — oracle where the DuckDB mirror is not
 # quadratic at 50k docs (the banded-join mirrors are pair-bound too and
@@ -50,9 +58,7 @@ PICKS: tuple[tuple[str, bool], ...] = (
 )
 
 
-def main() -> int:
-    from pyspark.sql import SparkSession
-
+def _ensure_corpora() -> None:
     # Guard on the actual tables, not the dirs: a generator crash after
     # makedirs but before the last write would otherwise suppress
     # regeneration forever while every load_table fails.
@@ -68,9 +74,15 @@ def main() -> int:
 
         make_organic_corpus.main()
 
+
+def run_single(name: str, want_oracle: bool) -> int:
+    """Time ONE pick in this (fresh) process and print its row as the
+    final stdout line."""
+    from pyspark.sql import SparkSession
+
     spark = (
         SparkSession.builder.master("local[32]")
-        .appName("sweep-organic")
+        .appName(f"sweep-organic-{name}")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -83,54 +95,70 @@ def main() -> int:
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     C._load_all()
+    row: dict = {}
+    spec = C.QUERIES[name]
+    for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
+        spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
+        # best-of-2 timed passes: even in a fresh JVM a single pass can
+        # catch a GC pause from the warm pass's debt; min is the
+        # steady-state plan cost the ratio should price
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = spec.builder(spark, sf_dir).count()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+            spark._jvm.System.gc()
+        row[key] = round(best, 2)
+        row["rows_sf10" if key == "t_sf10" else "rows_sf1"] = n
+    row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
+    if want_oracle and spec.oracle is not None:
+        t0 = time.time()
+        res = check_query(spark, name, SF1)
+        row["oracle_s"] = round(time.time() - t0, 2)
+        row["ok"] = bool(res.ok)
+        row["bit_equal"] = bool(res.values_bit_equal)
+        if not res.ok:
+            row["detail"] = res.detail[:300]
+    print(json.dumps(row))
+    return 0
+
+
+def main() -> int:
+    _ensure_corpora()
     report: dict[str, dict] = {}
     mismatches, errors, superlinear = [], [], []
     for i, (name, want_oracle) in enumerate(PICKS):
         row: dict = {}
         try:
-            spec = C.QUERIES[name]
-            for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
-                spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
-                # best-of-2 timed passes: single-pass timings on a 64 GB
-                # heap swing several x under GC pressure (one run
-                # measured the same LSH leg at 16 s and 103 s); min is
-                # the steady-state plan cost the ratio should price
-                best, n = None, 0
-                for _ in range(2):
-                    t0 = time.time()
-                    n = spec.builder(spark, sf_dir).count()
-                    t = time.time() - t0
-                    best = t if best is None else min(best, t)
-                row[key] = round(best, 2)
-                if key == "t_sf10":
-                    row["rows_sf10"] = n
-                else:
-                    row["rows_sf1"] = n
-            row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
-            if want_oracle and spec.oracle is not None:
-                t0 = time.time()
-                res = check_query(spark, name, SF1)
-                row["oracle_s"] = round(time.time() - t0, 2)
-                row["ok"] = bool(res.ok)
-                row["bit_equal"] = bool(res.values_bit_equal)
-                if not res.ok:
-                    mismatches.append(name)
-                    row["detail"] = res.detail[:300]
-            if row["ratio"] > RATIO_FLAG:
-                superlinear.append(name)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", name, "1" if want_oracle else "0"],
+                capture_output=True, text=True, timeout=SINGLE_TIMEOUT_S,
+                env=os.environ.copy(), cwd=REPO,
+            )
+            lines = [ln for ln in p.stdout.strip().splitlines() if ln]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
+            row = json.loads(lines[-1])
         except Exception as exc:  # noqa: BLE001 — record and continue
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
             errors.append(name)
+        if row.get("ok") is False:
+            mismatches.append(name)
+        if row.get("ratio", 0) > RATIO_FLAG:
+            superlinear.append(name)
         report[name] = row
         status = row.get("error") or (
             "MISMATCH" if name in mismatches else "OK")
         print(f"[{i + 1}/{len(PICKS)}] {name}: sf1 {row.get('t_sf1')}s "
               f"sf10 {row.get('t_sf10')}s x{row.get('ratio')} {status}",
               flush=True)
-
     summary = {
         "n": len(PICKS),
         "corpus": "organic (fresh-entropy, seed 777; true pairs ~ linear)",
+        "isolation": "one subprocess (fresh JVM) per pick",
         "mismatches": mismatches,
         "errors": errors,
         f"superlinear_gt{int(RATIO_FLAG)}x": superlinear,
@@ -142,4 +170,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--single":
+        raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
     raise SystemExit(main())
