@@ -10,8 +10,12 @@ on the core shapes where the mirror stays affordable at 60 M rows.
 Policy difference from sweep_sf1: each (query, sf) leg runs an UNTIMED
 warm pass first (fixture ground-truth builds, shuffle-file reuse, JIT)
 then one timed pass, so the ratio prices the steady-state plan rather
-than one-time fixture construction. Ratios land in
-_artifacts/sweep_sf10.json; a healthy plan stays well under ~10.
+than one-time fixture construction. Round-7 hardening (same as
+sweep_organic): each PICK runs in its own subprocess — a fresh JVM and
+block manager per query — because a shared session accumulates
+localCheckpoint blocks and GC debt from the heavy picks and inflates
+whatever runs later. Ratios land in _artifacts/sweep_sf10.json; a
+healthy plan stays well under ~10.
 
 Deliberate skips (documented, same reasoning as the sf1.0 SWEEP_SKIP):
 q_simjoin_prefix (exact all-pairs op: work is linear in TRUE-PAIR count,
@@ -70,12 +74,17 @@ PICKS: tuple[tuple[str, bool], ...] = (
 )
 
 
-def main() -> int:
+SINGLE_TIMEOUT_S = 2400
+
+
+def run_single(name: str, want_oracle: bool) -> int:
+    """Time ONE pick in this (fresh) process; the row is the final
+    stdout line."""
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[32]")
-        .appName("sweep-sf10")
+        .appName(f"sweep-sf10-{name}")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -88,35 +97,55 @@ def main() -> int:
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     C._load_all()
+    row: dict = {}
+    spec = C.QUERIES[name]
+    for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
+        spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
+        t0 = time.time()
+        n = spec.builder(spark, sf_dir).count()
+        row[key] = round(time.time() - t0, 2)
+        if key == "t_sf10":
+            row["rows_sf10"] = n
+        spark._jvm.System.gc()
+    row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
+    if want_oracle and spec.oracle is not None:
+        t0 = time.time()
+        res = check_query(spark, name, SF10)
+        row["oracle_s"] = round(time.time() - t0, 2)
+        row["ok"] = bool(res.ok)
+        row["bit_equal"] = bool(res.values_bit_equal)
+        if not res.ok:
+            row["detail"] = res.detail[:300]
+    print(json.dumps(row))
+    return 0
+
+
+def main() -> int:
+    import subprocess
+
     report: dict[str, dict] = {}
     mismatches, errors, superlinear = [], [], []
     for i, (name, want_oracle) in enumerate(PICKS):
         row: dict = {}
         try:
-            spec = C.QUERIES[name]  # inside try: a renamed catalog entry
-            # must land in `errors`, not abort a multi-hour sweep
-            for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
-                spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
-                t0 = time.time()
-                n = spec.builder(spark, sf_dir).count()
-                row[key] = round(time.time() - t0, 2)
-                if key == "t_sf10":
-                    row["rows_sf10"] = n
-            row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)
-            if want_oracle and spec.oracle is not None:
-                t0 = time.time()
-                res = check_query(spark, name, SF10)
-                row["oracle_s"] = round(time.time() - t0, 2)
-                row["ok"] = bool(res.ok)
-                row["bit_equal"] = bool(res.values_bit_equal)
-                if not res.ok:
-                    mismatches.append(name)
-                    row["detail"] = res.detail[:300]
-            if row["ratio"] > 10:
-                superlinear.append(name)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", name, "1" if want_oracle else "0"],
+                capture_output=True, text=True, timeout=SINGLE_TIMEOUT_S,
+                env=os.environ.copy(), cwd=REPO,
+            )
+            lines = [ln for ln in p.stdout.strip().splitlines() if ln]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
+            row = json.loads(lines[-1])
         except Exception as exc:  # noqa: BLE001 — record and continue
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
             errors.append(name)
+        if row.get("ok") is False:
+            mismatches.append(name)
+        if row.get("ratio", 0) > 10:
+            superlinear.append(name)
         report[name] = row
         status = row.get("error") or (
             "MISMATCH" if name in mismatches else "OK")
@@ -126,6 +155,7 @@ def main() -> int:
 
     summary = {
         "n": len(PICKS),
+        "isolation": "one subprocess (fresh JVM) per pick",
         "mismatches": mismatches,
         "errors": errors,
         "superlinear_gt10x": superlinear,
@@ -137,4 +167,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--single":
+        raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
     raise SystemExit(main())
