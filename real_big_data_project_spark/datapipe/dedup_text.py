@@ -438,6 +438,10 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     # sampled lists back (a doc-count-sized shuffle, not a gram-sized one)
     # and empty samples fingerprint as md5('') exactly like the oracle's
     # coalesce.
+    # per_doc feeds both the gram branch and the final join probe, and is
+    # deliberately NOT pinned: its values carry the full normalized text,
+    # so a checkpoint would materialize corpus bytes (the pin rule's
+    # value-width counter-case) to save two cheap map-only scans.
     per_doc = docs.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("_norm"),
