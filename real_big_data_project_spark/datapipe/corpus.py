@@ -94,6 +94,26 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def selection_signals(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Every per-doc signal a corpus-selection pass consumes — token
+    count, quality score, language guess, exact-dedup fingerprint — in
+    ONE projection over the text, lazily pinned because selection always
+    has at least two consumers (the corpus-wide keeper aggregate ranges
+    over ALL docs; the filter reads the same signals). The regex
+    tokenizations dominate the scan, so separate per-signal scans
+    re-joined on the id pay them once per signal (measured 3× at sf0.1).
+    Shared by q_corpus_select and q_datapipe_e2e — one definition, two
+    oracles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.token_count(text_col).alias("n_tokens"),
+        T.quality_score(text_col).alias("quality"),
+        T.lang_guess(text_col).alias("lang_guess"),
+        T.fingerprint(text_col).alias("fp"),
+    ).localCheckpoint(eager=False)
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language-ID heuristic (marker n-gram argmax) next to the labeled
     `lang` column, so accuracy is measurable downstream."""

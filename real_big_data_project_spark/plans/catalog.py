@@ -80,12 +80,12 @@ _RISKIEST: tuple[str, ...] = (
     "q_knn_graph",
     "q_kmeans",
     "q_dedup_recall",  # truth-fixture key now folds tokenizer constants
-    "q_dedup_simhash",  # signature pinned once across the band self-join
-    "q_dedup_minhash_lsh",  # same signature pin
-    "q_dedup_ngram_jaccard",  # shingle sets pinned across verify sides
+    "q_dedup_simhash",  # signature pin added then REVERTED (sf10 sweep)
+    "q_dedup_minhash_lsh",  # 8-int signature pin (kept: organic sweep win)
+    "q_dedup_ngram_jaccard",  # shingle-set pin added then REVERTED (sf10)
     "q_doc_fingerprint",  # sample filter moved BEFORE the collect_list agg
     "q_corpus_select",  # one combined text scan, pinned, replaces three
-    "q_decontaminate",  # exploded shingle pairs pinned across train/eval
+    "q_decontaminate",  # restructured then reverted to unpinned (pin rule)
     "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
     "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
     "q_daily_stats_table",  # day_std migrated into the OHLCV extra_aggs

@@ -868,21 +868,14 @@ _SQL_QUALITY = r"""
     tags=("datapipe",),
 )
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import fingerprint, lang_guess, quality_score, token_count
-
     docs = R.load_table(spark, sf_dir, "documents")
-    # ONE pass over the text computes every per-doc signal (the regex
-    # tokenizations dominate; three separate scans re-joined on doc_id
-    # paid them three times), pinned because two consumers need it: the
-    # corpus-wide keeper aggregate (dedup policy ranges over ALL docs,
-    # selected or not) and the selection filter itself.
-    base = docs.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        lang_guess("text").alias("lang_guess"),
-        fingerprint("text").alias("fp"),
-    ).localCheckpoint(eager=False)
+    # ONE pass over the text computes every per-doc signal (see
+    # corpus.selection_signals: the regex tokenizations dominate; three
+    # separate scans re-joined on doc_id paid them three times), pinned
+    # because two consumers need it: the corpus-wide keeper aggregate
+    # (dedup policy ranges over ALL docs, selected or not) and the
+    # selection filter itself.
+    base = CP.selection_signals(docs)
     keepers = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return (
         base.join(keepers.select("doc_id"), "doc_id")
@@ -1876,21 +1869,13 @@ def _sql_datapipe_e2e() -> str:
 def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.selection import rate_to_hex_threshold
     from ..functions.hashing import normalized_tokens
-    from ..functions.text import fingerprint, lang_guess, quality_score, token_count
 
     docs = R.load_table(spark, sf_dir, "documents")
-    # Same one-scan restatement as q_corpus_select: every per-doc signal
-    # in a single pinned projection (the regex tokenizations dominate);
-    # the keeper aggregate and the selection filter consume the pin. The
-    # chunking stage below re-reads `text` — tokens are corpus-sized, so
-    # THAT column stays out of the pin by design.
-    base = docs.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        lang_guess("text").alias("lang_guess"),
-        fingerprint("text").alias("fp"),
-    ).localCheckpoint(eager=False)
+    # The selection stage IS q_corpus_select's: the same one-scan pinned
+    # signal projection (corpus.selection_signals — one definition, two
+    # oracles). The chunking stage below re-reads `text` — tokens are
+    # corpus-sized, so THAT column stays out of the pin by design.
+    base = CP.selection_signals(docs)
     keepers = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
     sample_key = F.substring(

@@ -1,0 +1,90 @@
+"""Shared driver for the isolated (subprocess-per-pick) scale sweeps.
+
+Both sweep tools (sweep_sf10.py, sweep_organic.py) run every pick in a
+fresh JVM so localCheckpoint blocks and GC debt from one pick can never
+inflate another (PERF_NOTES round 7: the shared-session sweeps measured
+the same leg at 8 s and 54 s across quiet runs). The per-pick TIMING
+policy stays in each tool's `run_single`; this module owns the parent
+protocol — spawn, parse, account, record — so a protocol fix cannot
+land in one sweep and silently miss the other.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def parse_row(stdout: str) -> dict:
+    """The child prints its result row as a JSON object on the LAST line
+    it controls — but a library or atexit hook can append stray stdout
+    after it, so scan backwards for the first parseable JSON object
+    instead of trusting lines[-1] (a stray line must not convert a
+    completed multi-minute pick into an error row)."""
+    for ln in reversed([ln for ln in stdout.strip().splitlines() if ln]):
+        try:
+            row = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(row, dict):
+            return row
+    raise RuntimeError("no JSON row found in child stdout")
+
+
+def drive_picks(
+    script: str,
+    picks: tuple[tuple[str, bool], ...],
+    out_path: str,
+    ratio_flag: float,
+    timeout_s: int,
+    summary_extra: dict | None = None,
+    sf1_label: str = "sf1",
+) -> int:
+    """Run every (name, want_oracle) pick as `script --single name 0|1`,
+    collect rows, flag ratios above `ratio_flag`, write the record, and
+    return non-zero if any pick mismatched or errored."""
+    report: dict[str, dict] = {}
+    mismatches: list[str] = []
+    errors: list[str] = []
+    superlinear: list[str] = []
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(script)))
+    for i, (name, want_oracle) in enumerate(picks):
+        row: dict = {}
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(script),
+                 "--single", name, "1" if want_oracle else "0"],
+                capture_output=True, text=True, timeout=timeout_s,
+                env=os.environ.copy(), cwd=repo,
+            )
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
+            row = parse_row(p.stdout)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            errors.append(name)
+        if row.get("ok") is False:
+            mismatches.append(name)
+        if row.get("ratio", 0) > ratio_flag:
+            superlinear.append(name)
+        report[name] = row
+        status = row.get("error") or (
+            "MISMATCH" if name in mismatches else "OK")
+        print(f"[{i + 1}/{len(picks)}] {name}: {sf1_label} "
+              f"{row.get('t_sf1')}s sf10 {row.get('t_sf10')}s "
+              f"x{row.get('ratio')} {status}", flush=True)
+    summary = {
+        "n": len(picks),
+        "isolation": "one subprocess (fresh JVM) per pick",
+        **(summary_extra or {}),
+        "mismatches": mismatches,
+        "errors": errors,
+        f"superlinear_gt{int(ratio_flag)}x": superlinear,
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "queries": report}, f, indent=1)
+    print(json.dumps(summary))
+    return 1 if (mismatches or errors) else 0

@@ -27,12 +27,12 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "_artifacts", "organic_sf1")
 SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
 OUT = os.path.join(REPO, "_artifacts", "sweep_organic.json")
@@ -77,8 +77,11 @@ def _ensure_corpora() -> None:
 
 def run_single(name: str, want_oracle: bool) -> int:
     """Time ONE pick in this (fresh) process and print its row as the
-    final stdout line."""
+    final stdout line. Regenerates the organic corpora if missing, so a
+    hand-run `--single` on a fresh checkout works like the full sweep."""
     from pyspark.sql import SparkSession
+
+    _ensure_corpora()
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -125,48 +128,14 @@ def run_single(name: str, want_oracle: bool) -> int:
 
 
 def main() -> int:
+    from _sweep_common import drive_picks
+
     _ensure_corpora()
-    report: dict[str, dict] = {}
-    mismatches, errors, superlinear = [], [], []
-    for i, (name, want_oracle) in enumerate(PICKS):
-        row: dict = {}
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--single", name, "1" if want_oracle else "0"],
-                capture_output=True, text=True, timeout=SINGLE_TIMEOUT_S,
-                env=os.environ.copy(), cwd=REPO,
-            )
-            lines = [ln for ln in p.stdout.strip().splitlines() if ln]
-            if p.returncode != 0 or not lines:
-                raise RuntimeError(
-                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
-            row = json.loads(lines[-1])
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
-            errors.append(name)
-        if row.get("ok") is False:
-            mismatches.append(name)
-        if row.get("ratio", 0) > RATIO_FLAG:
-            superlinear.append(name)
-        report[name] = row
-        status = row.get("error") or (
-            "MISMATCH" if name in mismatches else "OK")
-        print(f"[{i + 1}/{len(PICKS)}] {name}: sf1 {row.get('t_sf1')}s "
-              f"sf10 {row.get('t_sf10')}s x{row.get('ratio')} {status}",
-              flush=True)
-    summary = {
-        "n": len(PICKS),
-        "corpus": "organic (fresh-entropy, seed 777; true pairs ~ linear)",
-        "isolation": "one subprocess (fresh JVM) per pick",
-        "mismatches": mismatches,
-        "errors": errors,
-        f"superlinear_gt{int(RATIO_FLAG)}x": superlinear,
-    }
-    with open(OUT, "w") as f:
-        json.dump({"summary": summary, "queries": report}, f, indent=1)
-    print(json.dumps(summary))
-    return 1 if (mismatches or errors) else 0
+    return drive_picks(
+        __file__, PICKS, OUT, RATIO_FLAG, SINGLE_TIMEOUT_S,
+        summary_extra={"corpus": "organic (fresh-entropy, seed 777; "
+                                 "true pairs ~ linear)"},
+    )
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "_artifacts", "sf1.0")
 SF10 = os.path.join(REPO, "_artifacts", "sf10")
 OUT = os.path.join(REPO, "_artifacts", "sweep_sf10.json")
@@ -121,49 +122,12 @@ def run_single(name: str, want_oracle: bool) -> int:
 
 
 def main() -> int:
-    import subprocess
+    from _sweep_common import drive_picks
 
-    report: dict[str, dict] = {}
-    mismatches, errors, superlinear = [], [], []
-    for i, (name, want_oracle) in enumerate(PICKS):
-        row: dict = {}
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--single", name, "1" if want_oracle else "0"],
-                capture_output=True, text=True, timeout=SINGLE_TIMEOUT_S,
-                env=os.environ.copy(), cwd=REPO,
-            )
-            lines = [ln for ln in p.stdout.strip().splitlines() if ln]
-            if p.returncode != 0 or not lines:
-                raise RuntimeError(
-                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
-            row = json.loads(lines[-1])
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
-            errors.append(name)
-        if row.get("ok") is False:
-            mismatches.append(name)
-        if row.get("ratio", 0) > 10:
-            superlinear.append(name)
-        report[name] = row
-        status = row.get("error") or (
-            "MISMATCH" if name in mismatches else "OK")
-        print(f"[{i + 1}/{len(PICKS)}] {name}: sf1.0 {row.get('t_sf1')}s "
-              f"sf10 {row.get('t_sf10')}s x{row.get('ratio')} {status}",
-              flush=True)
-
-    summary = {
-        "n": len(PICKS),
-        "isolation": "one subprocess (fresh JVM) per pick",
-        "mismatches": mismatches,
-        "errors": errors,
-        "superlinear_gt10x": superlinear,
-    }
-    with open(OUT, "w") as f:
-        json.dump({"summary": summary, "queries": report}, f, indent=1)
-    print(json.dumps(summary))
-    return 1 if (mismatches or errors) else 0
+    return drive_picks(
+        __file__, PICKS, OUT, ratio_flag=10.0,
+        timeout_s=SINGLE_TIMEOUT_S, sf1_label="sf1.0",
+    )
 
 
 if __name__ == "__main__":
