@@ -160,7 +160,12 @@ def test_asof_join_matches_naive(spark, left_rows, right_rows):
     from real_big_data_project_spark.operators.joins import asof_join_backward
 
     base = dt.datetime(2020, 1, 1)
-    lid = [(k, base + dt.timedelta(minutes=t), i * 10 + n)
+    # event_id is the row's IDENTITY in the got/want comparison, so it
+    # must be collision-free: i*10+n collided for (i=383, n=0) vs
+    # (i=382, n=10) and the two dicts then disagreed on last-write-wins
+    # (found by hypothesis). n < 25 ≪ 1000, so n*1000 + i is unique
+    # while keeping i's variety in the tiebreak column.
+    lid = [(k, base + dt.timedelta(minutes=t), n * 1000 + i)
            for n, (k, t, i) in enumerate(left_rows)]
     rid = [(k, base + dt.timedelta(minutes=t), float(p))
            for k, t, p in right_rows]
