@@ -90,6 +90,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
     "q_daily_stats_table",  # day_std migrated into the OHLCV extra_aggs
     "q_datapipe_e2e",  # one-scan restatement (q_corpus_select's shape)
+    "q_dedup_canonical",  # NEW: quality-argmax representative per cluster
     # -- staleness tail --
     "q_union_all",  # last green r02
     "q_corpus_shard",  # last green r03
@@ -115,7 +116,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_dq_expectations",  # last green r04
     "q_ewma_daily",  # last green r04
     "q_gapfill_locf",  # last green r04
-    "q_heavy_hitters",  # last green r04
     "q_incremental_ohlcv",  # last green r04
 )
 

@@ -1507,6 +1507,89 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(cand)
 
 
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+    scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM corpus),
+    labeled AS (
+      SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id,
+             s.quality
+      FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+    )
+    SELECT component_id, doc_id AS canonical_doc_id,
+           quality AS canonical_quality,
+           CAST(comp_size AS BIGINT) AS comp_size,
+           CAST(comp_size - 1 AS BIGINT) AS n_dups
+    FROM (
+      SELECT component_id, doc_id, quality,
+             count(*) OVER (PARTITION BY component_id) AS comp_size,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """,
+    description="The dedup stage's SHIPPED output: one canonical document "
+                "per near-duplicate cluster, chosen by QUALITY (highest "
+                "quality_score wins, smallest doc_id breaks ties) rather "
+                "than the min-id convention — what a training-corpus "
+                "pipeline actually keeps after components are found. "
+                "Singleton docs (no candidate pair) keep themselves. "
+                "Composition of three existing stages: LSH candidates → "
+                "min-label components → quality argmax as one map-side "
+                "max(struct) aggregate per component; the corpus (doc-"
+                "sized text values) is deliberately NOT pinned across its "
+                "two consumers per the pin rule's value-width case.",
+    tags=("datapipe",),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.components import dedup_components
+    from ..functions.text import quality_score
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    corpus = CP.with_near_duplicates(docs)
+    cand = DT.minhash_lsh_candidates(corpus, n_shingle=3)
+    comp = dedup_components(cand).select("doc_id", "component_id")
+    scored = corpus.select("doc_id", quality_score("text").alias("quality"))
+    labeled = scored.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col("doc_id"))
+    )
+    # argmax by (quality desc, doc_id asc) as ONE hash aggregate:
+    # max(struct(quality, -doc_id, payload)) — the negated id turns the
+    # ascending tiebreak into a max, and the payload fields never decide
+    # (the first two are unique per doc). Same total order as the
+    # oracle's row_number window, without a per-component sort.
+    best = F.max(F.struct(
+        F.col("quality"),
+        (-F.col("doc_id")).alias("_nid"),
+        F.col("doc_id").alias("doc_id"),
+    )).alias("_best")
+    return (
+        labeled.groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("comp_size"), best)
+        .select(
+            "component_id",
+            F.col("_best.doc_id").alias("canonical_doc_id"),
+            F.col("_best.quality").alias("canonical_quality"),
+            "comp_size",
+            (F.col("comp_size") - 1).cast("long").alias("n_dups"),
+        )
+    )
+
+
 def _ensure_cc_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize the prior full run's outputs ONCE per testdata
     generation — the component index (node, component_id) and the MinHash

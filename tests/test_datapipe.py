@@ -730,3 +730,52 @@ def test_cosine_given_norms_bit_equals_inline_cosine(spark, sf_dir):
         ~F.col("slow").eqNullSafe(F.col("fast"))
     )
     assert diff.count() == 0
+
+
+def test_dedup_canonical_prefers_quality_over_min_id(spark):
+    """The canonical pick is the QUALITY argmax of its component, not the
+    min-id keeper: plant a 3-doc near-dup cluster where the highest-
+    quality member has the LARGEST id, plus a singleton, and check both
+    policies disagree exactly where they should."""
+    from real_big_data_project_spark.plans.queries_datapipe import (
+        q_dedup_canonical,  # noqa: F401  (registered; we test the core)
+    )
+    from real_big_data_project_spark.datapipe.components import dedup_components
+    from real_big_data_project_spark.functions.text import quality_score
+
+    # Shared 40-token body -> one LSH cluster. Doc 2 gets the quality
+    # markers (sentence punctuation + stopwords); docs 0/1 stay terse.
+    body = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, body),
+        (1, body + " extra"),
+        (2, "The quick brown fox is of the essence. " * 3 + body + "."),
+        (9, " ".join(f"solo{i}" for i in range(40))),  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from real_big_data_project_spark.datapipe import dedup_text as DT
+
+    cand = DT.minhash_lsh_candidates(docs, n_shingle=3)
+    comp = dedup_components(cand).select("doc_id", "component_id")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    labeled = scored.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col("doc_id"))
+    )
+    # replicate the query's aggregate shape directly
+    best = F.max(F.struct(
+        F.col("quality"), (-F.col("doc_id")).alias("_nid"),
+        F.col("doc_id").alias("doc_id"),
+    )).alias("_best")
+    out = {
+        r.component_id: (r["_best"].doc_id, r.comp_size)
+        for r in labeled.groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("comp_size"), best)
+        .collect()
+    }
+    qual = {r.doc_id: r.quality for r in scored.collect()}
+    assert qual[2] > qual[0] and qual[2] > qual[1], qual
+    # the cluster {0,1,2} labels as component 0 (min id), but ships doc 2
+    assert out[0] == (2, 3), out
+    # the singleton keeps itself
+    assert out[9] == (9, 1), out
