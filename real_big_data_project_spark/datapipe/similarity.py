@@ -683,12 +683,18 @@ def ann_ivf_recall_sweep(
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
         "nv", norm("v")
     )
-    if lists is not None:
+    if lists is not None and centroids is None:
         # Same pin as ann_ivf_topk: `vecs` fans out into the centroid
-        # aggregate (when centroids is None), the query-side probe, and
-        # the inverted-list scan — a live k-means lineage would re-run
-        # once per consumer without the cut. eager=False: defer the job
-        # to the first action.
+        # aggregate, the query-side probe, and the inverted-list scan —
+        # a live k-means lineage would re-run once per consumer without
+        # the cut. eager=False: defer the job to the first action.
+        # SKIPPED when `centroids` is supplied: the stored-index path
+        # (q_ann_recall_ivf) passes a parquet-backed assignment, where
+        # re-reading columnar parquet per consumer beats materializing a
+        # row-format checkpoint — the measurement query must price
+        # probe-select + list scan, not a pointless materialization
+        # (round-7 advice; the pre-fusion sweep exposed pin_lists=False
+        # for exactly this).
         vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs) if centroids is None else centroids
     probes = _probe_select(vecs, query_ids, cents, p_max, id_col)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob as _glob
 import hashlib
 import os
+import time
 from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,24 +106,71 @@ def ensure_parquet_fixture(
                 # a pre-build existence check followed by rmtree would
                 # race the whole build duration against a concurrent
                 # winner and could delete its valid publish (review
-                # finding, round 7). Move the corpse aside atomically
-                # (never rmtree a path a winner might now own), then
-                # retry the publish once.
-                aside = f"{out}.corpse.{_uuid.uuid4().hex}"
+                # finding, round 7). Recovery is SERIALIZED by an
+                # O_CREAT|O_EXCL lock file (round-7 advice: two
+                # concurrent recoverers could otherwise rename-aside and
+                # delete each other's just-published valid fixture), and
+                # a renamed-aside dir that turns out to carry _SUCCESS —
+                # a winner that published between our marker check and
+                # the aside rename — is renamed BACK, never deleted.
+                lock = f"{out}.recovery.lock"
                 try:
-                    os.rename(out, aside)
+                    lock_fd: int | None = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except OSError:
-                    pass  # vanished or replaced meanwhile — retry decides
-                shutil.rmtree(aside, ignore_errors=True)
-                try:
-                    os.rename(tmp, out)
-                except OSError:
-                    # a winner slipped in between aside and retry — ours
-                    # is redundant; anything else (EACCES, EXDEV, ...)
-                    # must surface, not a later path-not-found
+                    lock_fd = None  # another recoverer owns the window
+                if lock_fd is None:
+                    # The lock holder will either republish or expose a
+                    # winner; our copy is redundant. Wait (bounded) for
+                    # their _SUCCESS rather than failing spuriously.
                     shutil.rmtree(tmp, ignore_errors=True)
-                    if not os.path.exists(success):
-                        raise
+                    deadline = time.monotonic() + 120.0
+                    while (not os.path.exists(success)
+                           and time.monotonic() < deadline):
+                        time.sleep(0.1)
+                else:
+                    try:
+                        if os.path.exists(success):
+                            # winner published while we queued for the
+                            # lock — ours is redundant
+                            shutil.rmtree(tmp, ignore_errors=True)
+                        else:
+                            aside = f"{out}.corpse.{_uuid.uuid4().hex}"
+                            try:
+                                os.rename(out, aside)
+                            except OSError:
+                                pass  # vanished meanwhile — retry decides
+                            if os.path.exists(
+                                    os.path.join(aside, "_SUCCESS")):
+                                # not a corpse: a valid publish landed in
+                                # the check->rename window. Restore it.
+                                shutil.rmtree(tmp, ignore_errors=True)
+                                try:
+                                    os.rename(aside, out)
+                                except OSError:
+                                    # out reappeared (third publisher) —
+                                    # theirs wins, drop our aside copy
+                                    shutil.rmtree(
+                                        aside, ignore_errors=True)
+                            else:
+                                shutil.rmtree(aside, ignore_errors=True)
+                                try:
+                                    os.rename(tmp, out)
+                                except OSError:
+                                    # a winner slipped in between aside
+                                    # and retry — ours is redundant;
+                                    # anything else (EACCES, EXDEV, ...)
+                                    # must surface, not a later
+                                    # path-not-found
+                                    shutil.rmtree(tmp, ignore_errors=True)
+                                    if not os.path.exists(success):
+                                        raise
+                    finally:
+                        os.close(lock_fd)
+                        try:
+                            os.unlink(lock)
+                        except OSError:
+                            pass
     if not os.path.exists(success):
         raise RuntimeError(
             f"fixture publish left no _SUCCESS marker at {out!r}"

@@ -38,10 +38,20 @@ Invariants:
 Driver-side file IO touches ONLY manifest-sized metadata (file-group
 names, a version int); row data moves through executor-side
 DataFrame reads/writes.
+
+Filesystem assumption: the store root must live on a LOCAL POSIX
+filesystem with atomic rename and hard-link support — the CAS commit is
+os.link, and rename-atomicity backs `_latest`. Filesystems without hard
+links (some network mounts, FUSE object-store shims, exFAT) fail the
+commit with a clear OSError naming this requirement, distinguished from
+CommitConflict (real contention). An object-store deployment would swap
+`_commit` for the store's own conditional-put (S3 If-None-Match, GCS
+generation-match) — the manifest protocol above it is unchanged.
 """
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import uuid
@@ -113,6 +123,21 @@ def _commit(root: str, version: int, groups: list[str]) -> int:
         raise CommitConflict(
             f"version {new_v} already committed at {root!r}"
         ) from None
+    except OSError as exc:
+        if exc.errno in (errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP,
+                         errno.ENOSYS, errno.EACCES, errno.EXDEV):
+            # Filesystem can't hard-link (network mounts, FUSE
+            # object-store shims, exFAT): NOT a commit conflict —
+            # surface the store's POSIX-local-FS requirement instead of
+            # a bare errno a caller would misread as contention
+            # (round-7 advice).
+            raise OSError(
+                exc.errno,
+                "snapshot store CAS commit requires hard-link support "
+                f"(os.link failed on {root!r}: {exc.strerror}); place "
+                "the store root on a local POSIX filesystem",
+            ) from exc
+        raise
     finally:
         os.unlink(mtmp)
     tmp = os.path.join(root, f"_latest.tmp.{uuid.uuid4().hex}")
@@ -128,14 +153,17 @@ def _write_group(df: DataFrame, root: str, version: int) -> str:
     return group
 
 
-def snapshot_append(df: DataFrame, root: str) -> int:
-    """Commit an append: new file group + manifest (old groups + new).
-    Returns the new version. Append retries are CHEAP under conflict:
-    the immutable file group is written once; only the manifest list is
-    rebuilt against the new current version (appends commute, so no
-    recomputation is needed — the OCC fast path)."""
+def append_group(root: str, group: str) -> int:
+    """Commit an ALREADY-WRITTEN data group as an append (the OCC retry
+    loop of `snapshot_append`, factored out). Public so the commit path
+    can be driven without a SparkSession — real multi-job deployments
+    race this from distinct OS processes, and the cross-process CAS test
+    (tests/test_sinks.py) exercises exactly this function from spawned
+    PIDs. Append retries are CHEAP under conflict: the immutable file
+    group already exists; only the manifest list is rebuilt against the
+    new current version (appends commute, so no recomputation is needed
+    — the OCC fast path)."""
     v = latest_version(root)
-    group = _write_group(df, root, v)
     for _ in range(COMMIT_RETRIES):
         try:
             groups = (_read_manifest(root, v) if v else []) + [group]
@@ -145,6 +173,13 @@ def snapshot_append(df: DataFrame, root: str) -> int:
     raise CommitConflict(
         f"append to {root!r} lost {COMMIT_RETRIES} CAS rounds"
     )
+
+
+def snapshot_append(df: DataFrame, root: str) -> int:
+    """Commit an append: new file group + manifest (old groups + new).
+    Returns the new version."""
+    group = _write_group(df, root, latest_version(root))
+    return append_group(root, group)
 
 
 def snapshot_delete_keys(

@@ -535,3 +535,72 @@ def test_snapshot_store_cas_conflict_paths(spark, tmp_path):
     snapshot_delete_keys(spark, root, keys, "k")
     final = {r.k for r in read_snapshot(spark, root).collect()}
     assert final == {2, 3, 100}
+
+
+def _race_commit_from_pid(root, group, barrier, q):
+    """Child-process body for the cross-process CAS race (module-level:
+    spawn pickles the target by qualified name). Spark-free — the commit
+    path is pure manifest IO by design, which is exactly what lets real
+    multi-job deployments race it from distinct drivers."""
+    from real_big_data_project_spark.sources.snapshot_store import (
+        append_group,
+    )
+
+    barrier.wait(timeout=120)
+    try:
+        q.put(("ok", os.getpid(), append_group(root, group)))
+    except Exception as exc:  # report, never hang the parent
+        q.put(("err", os.getpid(), repr(exc)))
+
+
+def test_snapshot_store_cas_across_processes(spark, tmp_path):
+    """VERDICT r7 item 5: the thread-based race proves the protocol, but
+    real deployments are separate OS processes — race two writers
+    through the os.link publish path from two spawned PIDs. Both data
+    groups are pre-written by the parent (the Spark half is not under
+    test); the children run the production OCC loop (`append_group`)
+    against the same base version. Done-bar: both commits land,
+    serialized, from distinct PIDs, no lost update."""
+    import multiprocessing as mp
+
+    from real_big_data_project_spark.sources.snapshot_store import (
+        _write_group, latest_version, read_snapshot, snapshot_append,
+    )
+
+    root = str(tmp_path / "mp_store")
+    snapshot_append(
+        spark.createDataFrame([(0, "base")], "k int, who string"), root)
+    assert latest_version(root) == 1
+    groups = [
+        _write_group(
+            spark.createDataFrame([(i, tag) for i in range(1, 6)],
+                                  "k int, who string"),
+            root, latest_version(root))
+        for tag in ("alpha", "beta")
+    ]
+
+    ctx = mp.get_context("spawn")  # fresh interpreters, no JVM inherited
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_race_commit_from_pid,
+                         args=(root, g, barrier, q)) for g in groups]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=180) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0, f"writer pid={p.pid} exit={p.exitcode}"
+
+    assert all(r[0] == "ok" for r in results), results
+    pids = {r[1] for r in results}
+    assert len(pids) == 2 and os.getpid() not in pids, \
+        f"writers must be distinct child PIDs: {pids}"
+    # serialization: the two commits took exactly versions 2 and 3
+    assert {r[2] for r in results} == {2, 3}, results
+    assert latest_version(root) == 3
+    rows = read_snapshot(spark, root).collect()
+    per_writer = {tag: len([r for r in rows if r.who == tag])
+                  for tag in ("base", "alpha", "beta")}
+    assert per_writer == {"base": 1, "alpha": 5, "beta": 5}, per_writer
+    # the loser's retry appended, not replaced: v2 nests inside v3
+    assert len(read_snapshot(spark, root, version=2).collect()) == 6

@@ -108,11 +108,20 @@ def _default_subset_cached(sf: str) -> frozenset[str]:
         if e.get("tag") == tag:  # a same-tag runner won: defer to it
             return frozenset(e["names"])
     ledger.append({"tag": tag, "names": sorted(subset)})
-    # atomic publish: a parallel runner must never read a torn ledger
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_LEDGER), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(ledger, f, indent=1)
-    os.replace(tmp, _LEDGER)
+    # atomic publish: a parallel runner must never read a torn ledger.
+    # Best-effort: on a read-only checkout (CI cache, sandboxed runner)
+    # the publish raises OSError — degrade to the computed subset
+    # without persisting rather than failing the whole default suite;
+    # the only cost is that the next writable run recomputes the ranking
+    # (round-7 advice).
+    try:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(_LEDGER), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(ledger, f, indent=1)
+        os.replace(tmp, _LEDGER)
+    except OSError:
+        pass
     return frozenset(subset)
 
 
