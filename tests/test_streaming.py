@@ -4,6 +4,7 @@ where GroupState (not a window over history) carries the running state."""
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import pandas as pd
@@ -305,7 +306,47 @@ def _state_ops(progress: list) -> list[dict]:
             if p.get("stateOperators")]
 
 
-def test_streaming_dedup_state_evicts_past_watermark(spark):
+# Every eviction soak runs on BOTH state-store providers (VERDICT r7
+# item 3): the default HDFS-backed in-memory-map provider, and the
+# disk-backed RocksDB provider a large deployment actually runs — state
+# larger than executor heap is the 100 TB reality, and a provider swap
+# must change neither results nor eviction behavior.
+_PROVIDERS = ("hdfs", "rocksdb")
+_ROCKSDB_CLASS = ("org.apache.spark.sql.execution.streaming.state."
+                  "RocksDBStateStoreProvider")
+
+
+@contextlib.contextmanager
+def _state_store_provider(spark, provider: str):
+    """Pin the state-store provider for one drain. The conf is read at
+    query start, so setting it around the drain is enough; always
+    restored so a soak can never leak its provider into later tests."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        if provider == "rocksdb":
+            spark.conf.set(key, _ROCKSDB_CLASS)
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _assert_provider_ran(ops: list[dict], provider: str) -> None:
+    """RocksDB proves itself by its customMetrics — a silently-ignored
+    conf (typo'd class, missing jar) must fail the soak, not pass it on
+    the default provider."""
+    if provider == "rocksdb":
+        assert ops and any(
+            "rocksdb" in k.lower()
+            for op in ops for k in (op.get("customMetrics") or {})
+        ), "state store did not actually run on RocksDB"
+
+
+@pytest.mark.parametrize("provider", _PROVIDERS)
+def test_streaming_dedup_state_evicts_past_watermark(spark, provider):
     """3-day doubled feed, 1-hour re-delivery horizon: every event still
     lands exactly once, AND the dedup key store shrinks as the watermark
     passes each day — bounded by (arrival rate x horizon), not history."""
@@ -313,14 +354,17 @@ def test_streaming_dedup_state_evicts_past_watermark(spark):
         run_streaming_dedup,
     )
 
-    landing, n_unique = _three_day_landing("dedup", duplicate=True)
+    landing, n_unique = _three_day_landing(f"dedup_{provider}",
+                                           duplicate=True)
     progress: list = []
-    out = run_streaming_dedup(
-        spark, landing, watermark="1 hour", landing=landing,
-        max_files_per_trigger=1, progress_sink=progress,
-    )
-    assert out.count() == n_unique  # exactly-once output, 3 batches
+    with _state_store_provider(spark, provider):
+        out = run_streaming_dedup(
+            spark, landing, watermark="1 hour", landing=landing,
+            max_files_per_trigger=1, progress_sink=progress,
+        )
+        assert out.count() == n_unique  # exactly-once output, 3 batches
     ops = _state_ops(progress)
+    _assert_provider_ran(ops, provider)
     assert len(ops) >= 3
     removed = sum(op["numRowsRemoved"] for op in ops)
     per_day = n_unique // 3
@@ -331,7 +375,8 @@ def test_streaming_dedup_state_evicts_past_watermark(spark):
     assert max(finals) < n_unique  # the store never held full history
 
 
-def test_streaming_sessions_finalize_and_evict(spark):
+@pytest.mark.parametrize("provider", _PROVIDERS)
+def test_streaming_sessions_finalize_and_evict(spark, provider):
     """Append-mode session windows: a session is emitted exactly once
     when the watermark passes its end, and its state row is evicted at
     that moment — day-3 sessions stay open (never emitted), day-1/2
@@ -340,23 +385,26 @@ def test_streaming_sessions_finalize_and_evict(spark):
         run_streaming_sessions_append,
     )
 
-    landing, _ = _three_day_landing("sessions")
+    landing, _ = _three_day_landing(f"sessions_{provider}")
     progress: list = []
-    out = run_streaming_sessions_append(
-        spark, landing, gap="30 minutes", watermark="1 hour",
-        max_files_per_trigger=1, progress_sink=progress,
-    ).collect()
+    with _state_store_provider(spark, provider):
+        out = run_streaming_sessions_append(
+            spark, landing, gap="30 minutes", watermark="1 hour",
+            max_files_per_trigger=1, progress_sink=progress,
+        ).collect()
     # one session per (user, day); only day1+day2 finalized
     assert len(out) == 2 * _DAY_USERS
     assert all(r.n_events == _EVENTS_PER_USER for r in out)
     ops = _state_ops(progress)
+    _assert_provider_ran(ops, provider)
     removed = sum(op["numRowsRemoved"] for op in ops)
     assert removed >= 2 * _DAY_USERS, [op["numRowsRemoved"] for op in ops]
     finals = [op["numRowsTotal"] for op in ops]
     assert finals[-1] <= _DAY_USERS, finals  # only day-3 sessions live
 
 
-def test_stateful_pct_idle_series_evict(spark):
+@pytest.mark.parametrize("provider", _PROVIDERS)
+def test_stateful_pct_idle_series_evict(spark, provider):
     """EventTimeTimeout on the custom GroupState operator: series idle
     past the timeout horizon are removed from the store (numRowsTotal
     falls to the live-series count), while live series keep their carry
@@ -366,58 +414,18 @@ def test_stateful_pct_idle_series_evict(spark):
     )
 
     n_idle = 5
-    landing, n_unique = _three_day_landing("statefulpct",
+    landing, n_unique = _three_day_landing(f"statefulpct_{provider}",
                                            day1_only_users=n_idle)
     progress: list = []
-    out = run_stateful_pct_change(
-        spark, landing, glob="*.parquet", max_files_per_trigger=1,
-        idle_timeout="2 hours", progress_sink=progress,
-    )
-    assert out.count() == n_unique  # in-order feed: nothing dropped
+    with _state_store_provider(spark, provider):
+        out = run_stateful_pct_change(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1,
+            idle_timeout="2 hours", progress_sink=progress,
+        )
+        assert out.count() == n_unique  # in-order feed: nothing dropped
     ops = _state_ops(progress)
+    _assert_provider_ran(ops, provider)
     removed = sum(op["numRowsRemoved"] for op in ops)
     assert removed >= n_idle, [op["numRowsRemoved"] for op in ops]
     finals = [op["numRowsTotal"] for op in ops]
     assert finals[-1] == _DAY_USERS, finals  # idle series gone, live kept
-
-
-def test_streaming_dedup_evicts_on_rocksdb_state_store(spark):
-    """Same dedup eviction soak on the DISK-BACKED state store a large
-    deployment runs (RocksDBStateStoreProvider, bundled with Spark):
-    state larger than executor heap is the 100 TB reality, and provider
-    swap must change neither results nor eviction behavior. The conf is
-    read at query start, so setting it around the drain is enough."""
-    from real_big_data_project_spark.streaming.dedup_stream import (
-        run_streaming_dedup,
-    )
-
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    landing, n_unique = _three_day_landing("dedup_rocks", duplicate=True)
-    progress: list = []
-    try:
-        spark.conf.set(
-            key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        out = run_streaming_dedup(
-            spark, landing, watermark="1 hour", landing=landing,
-            max_files_per_trigger=1, progress_sink=progress,
-        )
-        assert out.count() == n_unique
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    ops = _state_ops(progress)
-    assert ops and any(
-        "rocksdb" in k.lower()
-        for op in ops for k in (op.get("customMetrics") or {})
-    ), "state store did not actually run on RocksDB"
-    removed = sum(op["numRowsRemoved"] for op in ops)
-    per_day = n_unique // 3
-    assert removed >= 2 * per_day
-    finals = [op["numRowsTotal"] for op in ops]
-    assert finals[-1] <= per_day, finals
