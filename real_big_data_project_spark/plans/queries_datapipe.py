@@ -1990,6 +1990,159 @@ def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_datapipe_e2e_v2() -> str:
+    from ..datapipe.selection import rate_to_hex_threshold
+
+    thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
+    return rf"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_SHINGLES},
+    {_sql_minhash_bands()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+    stats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             ' ' || lower(text) || ' ' AS c
+      FROM corpus
+    ),
+    langs AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+             WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             ELSE 'de' END AS lang_guess
+      FROM (SELECT doc_id, {_sql_lang_scores()} FROM stats)
+    ),
+    labeled AS (
+      SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id,
+             s.quality
+      FROM stats s LEFT JOIN comp c ON c.node = s.doc_id
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    ),
+    selected AS (
+      SELECT s.doc_id
+      FROM stats s
+      JOIN langs l USING (doc_id)
+      JOIN canon cn ON cn.doc_id = s.doc_id
+      WHERE s.quality >= 0.7 AND l.lang_guess = 'en'
+        AND s.n_tokens BETWEEN 20 AND 100000
+        AND substr(md5('sample:' || CAST(s.doc_id AS VARCHAR)), 1, 8) < '{thr}'
+    )
+    SELECT d.doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM corpus) toks
+      JOIN selected USING (doc_id)
+    ) d
+    """
+
+
+@register(
+    "q_datapipe_e2e_v2",
+    oracle=_sql_datapipe_e2e_v2(),
+    description="Corpus-build capstone v2 (VERDICT r7 item 6): the "
+                "end-to-end pipeline ships what a trainer actually "
+                "consumes — the dedup stage is NEAR-dup canonical "
+                "selection (MinHash-LSH candidates → min-label components "
+                "→ quality-argmax keeper per cluster, q_dedup_canonical's "
+                "policy) instead of v1's exact-fingerprint min-id keeper; "
+                "then quality/language/token-length filters, "
+                "deterministic hash sampling, and overlapping token-"
+                "window chunking, over the planted near-dup corpus. Each "
+                "stage is an already-oracled operator; this pins that the "
+                "near-dup policy COMPOSES through selection and chunking. "
+                "Plan shape: one band-key shuffle for candidates, "
+                "O(log n) star rounds, one map-side max(struct) argmax, "
+                "map-only chunking — the corpus (value-width text) is "
+                "never pinned; the compact signal frame is (once).",
+    tags=("datapipe",),
+)
+def q_datapipe_e2e_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.components import dedup_components
+    from ..datapipe.selection import rate_to_hex_threshold
+    from ..functions.hashing import normalized_tokens
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    corpus = CP.with_near_duplicates(docs)
+    # One pinned pass computes every compact per-doc signal over the
+    # AUGMENTED corpus (quality must score the planted copies too — it
+    # decides which cluster member ships); consumers: the canonical
+    # argmax and the selection filter.
+    base = CP.selection_signals(corpus)
+    cand = DT.minhash_lsh_candidates(corpus, n_shingle=3)
+    comp = dedup_components(cand).select("doc_id", "component_id")
+    labeled = base.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col("doc_id"))
+    )
+    # quality-argmax per cluster as ONE hash aggregate (q_dedup_canonical:
+    # max(struct(quality, -doc_id)) == row_number over (quality DESC,
+    # doc_id ASC) — the negated id turns the ascending tiebreak into a max)
+    best = F.max(F.struct(
+        F.col("quality"),
+        (-F.col("doc_id")).alias("_nid"),
+        F.col("doc_id").alias("doc_id"),
+    )).alias("_best")
+    canon = (
+        labeled.groupBy("component_id").agg(best)
+        .select(F.col("_best.doc_id").alias("doc_id"))
+    )
+    thr = rate_to_hex_threshold(E2E_SAMPLE_RATE)
+    sample_key = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    selected = (
+        base.join(canon, "doc_id")
+        .filter(
+            (F.col("quality") >= 0.7)
+            & (F.col("lang_guess") == "en")
+            & F.col("n_tokens").between(20, 100000)
+            & (sample_key < F.lit(thr))
+        )
+        .select("doc_id")
+    )
+    toks = corpus.join(selected, "doc_id").select(
+        "doc_id", normalized_tokens("text").alias("t")
+    )
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 MIX_TEMPERATURE = 0.7
 MIX_TARGET_DOCS = 1000
 
