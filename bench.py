@@ -95,7 +95,18 @@ def main() -> int:
 
     warm_streaming(spark)
 
+    # Rep-spread protocol (VERDICT r7 item 8): BENCH totals drift ±8-15%
+    # with machine state for identical code, so a future reader needs the
+    # per-query noise band IN the committed record to separate plan
+    # regressions from environment noise. Queries whose first rep costs
+    # >= 1 s (they carry ~70% of the total) get REPS timed passes; the
+    # HEADLINE value stays rep 1 — unchanged protocol, comparable across
+    # rounds — and min/max land in `rep_spread`. Sub-second queries'
+    # noise can't move the total and stay single-rep.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    rep_floor_s = 1.0
     timings: dict[str, float] = {}
+    rep_spread: dict[str, dict[str, float]] = {}
     failed: list[str] = []
     total = 0.0
     for name in sorted(qmap):
@@ -115,6 +126,21 @@ def main() -> int:
         # queries (shingle sets, collect_list) lands as GC pauses inside
         # whichever query runs NEXT — per-query isolation, not a speedup.
         spark._jvm.System.gc()
+        if dt >= rep_floor_s and reps > 1:
+            samples = [dt]
+            for _ in range(reps - 1):
+                r0 = time.perf_counter()
+                try:
+                    force(qmap[name](spark, sf_dir))
+                    samples.append(time.perf_counter() - r0)
+                except Exception:  # spread is best-effort diagnostics
+                    break
+                spark._jvm.System.gc()
+            rep_spread[name] = {
+                "n": len(samples),
+                "min": round(min(samples), 4),
+                "max": round(max(samples), 4),
+            }
 
     # ...but it must not make the headline metric look FASTER either:
     # a failure reads as the full bench timeout, never as saved time.
@@ -132,6 +158,7 @@ def main() -> int:
         "queries": timings,
         "failed": failed,
         "fresh_top5": fresh,
+        "rep_spread": rep_spread,
         "sf": _sf_from_dir(sf_dir),
     }
     # The driver truncates the stdout line to a 2000-char tail, losing the

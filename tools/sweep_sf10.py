@@ -23,6 +23,25 @@ which the replicated corpus inflates superlinearly by construction),
 q_dedup_recall (rebuilds planted ground truth per scale; the operator
 under test is covered via q_dedup_minhash_lsh), q_semantic_dedup's
 DuckDB mirror (quadratic; Spark side still timed).
+
+PAIR-BOUND picks live in the ORGANIC sweeps, not here (VERDICT r7
+item 4). make_sf1.py scales by REPLICATION: every base document gains
+~REPLICAS near-identical copies, so the TRUE near-duplicate pair count
+grows ~quadratically in the replica factor (~110x for 10x rows at this
+corpus's density) instead of the ~10x a fresh corpus carries. Any plan
+whose work is bounded by true-pair count — candidate verification,
+edge-list clustering — therefore measures >10x here BY CONSTRUCTION,
+an artifact of the corpus, not the plan; the rounds 6-7 records carried
+q_dedup_{embedding,minhash_lsh,ngram_jaccard,components} at x13.9-x32.2
+with exactly that oral excuse attached. Those four are priced on the
+fresh-entropy organic corpora instead (tools/sweep_organic.py at
+sf1->sf10, tools/sweep_organic_sf100.py one decade further), where true
+pairs grow linearly with rows and a superlinear ratio would be REAL.
+This sweep keeps the replicated corpus for what replication is valid
+for: row-count scaling of scan/agg/join/window/iterative plans
+(q_dedup_simhash and q_semantic_dedup stay — their replicated-corpus
+ratios never tripped the flag, and keeping one pair-family pick here
+cross-checks the two corpus methodologies against each other).
 """
 
 from __future__ import annotations
@@ -44,19 +63,17 @@ OUT = os.path.join(REPO, "_artifacts", "sweep_sf10.json")
 PICKS: tuple[tuple[str, bool], ...] = (
     # worst sf1.0-sweep ratios (x5-x9.4): do they hold a second decade?
     ("q_ann_recall", False),
-    ("q_dedup_embedding", False),
     ("q_knn_graph", False),
     ("q_doc_fingerprint", False),
     ("q_corpus_select", True),
     ("q_datapipe_e2e", False),
     ("q_token_budget_select", True),
     ("q_pagerank", False),
-    # heavy dedup family
+    # dedup family — row-bound picks only; the pair-bound four
+    # (embedding/minhash_lsh/ngram_jaccard/components) are priced on the
+    # organic corpora (see module docstring)
     ("q_dedup_exact", True),
-    ("q_dedup_minhash_lsh", False),
-    ("q_dedup_ngram_jaccard", False),
     ("q_dedup_simhash", False),
-    ("q_dedup_components", False),
     ("q_semantic_dedup", False),
     ("q_sequence_packing", True),
     ("q_bm25", True),
