@@ -50,73 +50,70 @@ def register(name: str, oracle: str | None, description: str = "",
 # The priority prefix rotates each round: new/changed queries lead (a green
 # prior-round row does not certify new output), then the LEAST-recently
 # gated queries, so every catalog entry is periodically re-proven on
-# current-generation testdata.  Round-7 prefix: first every query whose
-# CODE or OUTPUT changed this round — q_approx_distinct (tolerance
-# booleans, VERDICT r6 item 6), q_ann_recall_ivf (stored-centroid
-# fixture + fused one-window sweep, item 3), the cosine-norms /
-# MAX-aggregate ANN+embedding family rewrites, q_simjoin_prefix
-# ((df,shingle) ordering + array verify), the connected-components
-# lineage pin, and q_kmeans (oracle now interpolates DIST_ROUND) —
-# then the r6 staleness tail oldest-first: q_union_all (r02, the
-# stalest row in the repo) and the 18 r03-era rows (incl. the five
-# streaming drains), and r04-era rows to fill the 50-slot sample.
-# Done-bar per VERDICT r6 item 2: after this round's gate, no catalog
-# query's latest green row predates r04 (the r04-era entries that no
-# longer fit the sample already hold r04 rows, which meets the bar).
+# current-generation testdata.
+#
+# GENERATED — do not hand-edit.  Regenerate with
+#     python tools/gen_rotation.py [pinned new/changed query names...]
+# and paste the _ROTATION_VINTAGE/_PINNED/_RISKIEST block below verbatim.
+# tests/test_plans.py::test_rotation_prefix_is_generated recomputes
+# compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
+# the suite if this block is stale (VERDICT r8 item 1: round 8 silently
+# re-proved the identical r7 sample; a hand-maintained prefix cannot be
+# trusted to rotate).  Round-9 prefix: q_datapipe_e2e_v2 first (the only
+# never-gated query), then the 30 r04-vintage rows, then r05-vintage fill.
+_ROTATION_VINTAGE = 8
+_PINNED: tuple[str, ...] = ()
 _RISKIEST: tuple[str, ...] = (
-    # -- changed this round --
-    "q_approx_distinct",
-    "q_ann_recall_ivf",
-    "q_simjoin_prefix",
-    "q_dedup_components",
-    "q_dedup_components_incremental",
-    "q_semantic_dedup",
-    "q_dedup_embedding",
-    "q_ann_ivf",
-    "q_ann_topk",
-    "q_ann_bucket",
-    "q_ann_recall",
-    "q_ann_recall_sq8",
-    "q_knn_graph",
-    "q_kmeans",
-    "q_dedup_recall",  # truth-fixture key now folds tokenizer constants
-    "q_dedup_simhash",  # signature pin added then REVERTED (sf10 sweep)
-    "q_dedup_minhash_lsh",  # 8-int signature pin (kept: organic sweep win)
-    "q_dedup_ngram_jaccard",  # shingle-set pin added then REVERTED (sf10)
-    "q_doc_fingerprint",  # sample filter moved BEFORE the collect_list agg
-    "q_corpus_select",  # one combined text scan, pinned, replaces three
-    "q_decontaminate",  # restructured then reverted to unpinned (pin rule)
-    "q_pagerank",  # ranks carry outdeg: one broadcast join per iteration
-    "q_pipeline_e2e",  # pinned clean/companies; std rides the OHLCV agg
-    "q_daily_stats_table",  # day_std migrated into the OHLCV extra_aggs
-    "q_datapipe_e2e",  # one-scan restatement (q_corpus_select's shape)
-    "q_dedup_canonical",  # NEW: quality-argmax representative per cluster
-    # -- staleness tail --
-    "q_union_all",  # last green r02
-    "q_corpus_shard",  # last green r03
-    "q_corpus_shuffle",  # last green r03
-    "q_dedup_incremental",  # last green r03
-    "q_filter_funnel",  # last green r03
-    "q_ntile_deciles",  # last green r03
-    "q_pii_scrub",  # last green r03
-    "q_scan_excel",  # last green r03
-    "q_scan_jdbc",  # last green r03
-    "q_stream_stream_join",  # last green r03
-    "q_streaming_dedup",  # last green r03
-    "q_streaming_enrich",  # last green r03
-    "q_streaming_ohlcv",  # last green r03
-    "q_streaming_sessions",  # last green r03
-    "q_tags_resolve",  # last green r03
-    "q_train_test_split",  # last green r03
-    "q_trend_slope_sql",  # last green r03
-    # -- r04-era fill --
-    "q_catalog_tables",  # last green r04
-    "q_corr_stats",  # last green r04
-    "q_cube",  # last green r04
-    "q_dq_expectations",  # last green r04
-    "q_ewma_daily",  # last green r04
-    "q_gapfill_locf",  # last green r04
-    "q_incremental_ohlcv",  # last green r04
+    "q_datapipe_e2e_v2",  # never gated
+    "q_having_large_orders",  # last green r04
+    "q_heavy_hitters",  # last green r04
+    "q_linreg_train",  # last green r04
+    "q_median_mode",  # last green r04
+    "q_merge_upsert",  # last green r04
+    "q_min_price_supplier",  # last green r04
+    "q_percentiles",  # last green r04
+    "q_pivot_wide",  # last green r04
+    "q_quantile_bucket",  # last green r04
+    "q_rank_functions",  # last green r04
+    "q_recursive_ancestry",  # last green r04
+    "q_scan_csv_quarantine",  # last green r04
+    "q_scan_jsonl",  # last green r04
+    "q_scan_mixed_dir",  # last green r04
+    "q_scan_orc",  # last green r04
+    "q_scd2_intervals",  # last green r04
+    "q_sessionize",  # last green r04
+    "q_snapshot_diff",  # last green r04
+    "q_span_dedup",  # last green r04
+    "q_sql_passthrough",  # last green r04
+    "q_streaming_stateful_pct",  # last green r04
+    "q_supplier_wait_fault",  # last green r04
+    "q_svm_train",  # last green r04
+    "q_time_travel",  # last green r04
+    "q_trend_slope",  # last green r04
+    "q_udtf_chunks",  # last green r04
+    "q_unpivot",  # last green r04
+    "q_value_histogram",  # last green r04
+    "q_vwap_twap",  # last green r04
+    "q_zorder_layout",  # last green r04
+    "q_bigram_lm",  # last green r05
+    "q_bm25",  # last green r05
+    "q_data_mixture",  # last green r05
+    "q_dedup_exact",  # last green r05
+    "q_doc_chunking",  # last green r05
+    "q_embedding_pool",  # last green r05
+    "q_grouping_sets",  # last green r05
+    "q_idle_rich_customers",  # last green r05
+    "q_lang_id",  # last green r05
+    "q_market_share",  # last green r05
+    "q_multimodal_decode",  # last green r05
+    "q_multimodal_features",  # last green r05
+    "q_multimodal_frames",  # last green r05
+    "q_multimodal_meta",  # last green r05
+    "q_order_count_distribution",  # last green r05
+    "q_pandas_udf_norm",  # last green r05
+    "q_profit_by_nation_year",  # last green r05
+    "q_promo_revenue",  # last green r05
+    "q_qualified_suppliers",  # last green r05
 )
 
 

@@ -390,6 +390,41 @@ def test_riskiest_prefix_names_are_registered():
     assert missing == []
 
 
+def test_rotation_prefix_is_generated():
+    """The committed gate prefix must match gen_rotation on the live
+    CORRECTNESS_r*.json set.
+
+    Round 8 silently re-proved round 7's identical 50-query sample because
+    ``_RISKIEST`` is hand-pasted (VERDICT r8 item 1).  This test makes that
+    structurally impossible: the moment the driver lands a new
+    CORRECTNESS_r{N}.json, ``compute_prefix`` shifts (newly-proven queries
+    fall to the back, stale ones surface) and this assertion fails until
+    someone re-runs ``python tools/gen_rotation.py`` and pastes the fresh
+    block into catalog.py.
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import gen_rotation
+
+    from real_big_data_project_spark.plans.catalog import (
+        _PINNED, _RISKIEST, _ROTATION_VINTAGE,
+    )
+
+    assert _ROTATION_VINTAGE == gen_rotation.newest_round(), (
+        f"prefix generated from CORRECTNESS round {_ROTATION_VINTAGE} but "
+        f"round {gen_rotation.newest_round()} exists — rerun "
+        "`python tools/gen_rotation.py` and paste the block into catalog.py"
+    )
+    expected = tuple(gen_rotation.compute_prefix(_PINNED))
+    assert _RISKIEST == expected, (
+        "catalog._RISKIEST is stale vs gen_rotation.compute_prefix — "
+        "rerun `python tools/gen_rotation.py` and paste the block"
+    )
+
+
 def test_dashboard_session_composes_lazily(qmap, spark, sf_dir):
     # The tab-1 session composite: one lazy plan, dims broadcast, no
     # cartesian product on the fact side (the only nested-loop join is

@@ -13,6 +13,14 @@ first, then oldest), and prints a ready-to-paste prefix. Pass new/changed
 query names as argv to pin them ahead of the staleness ranking:
 
     python tools/gen_rotation.py q_new_this_round q_output_changed
+
+The committed prefix is CHECKED, not advisory: ``catalog._ROTATION_VINTAGE``
+records the newest CORRECTNESS round the prefix was generated from, and
+``tests/test_plans.py::test_rotation_prefix_is_generated`` recomputes
+``compute_prefix(catalog._PINNED)`` against the live CORRECTNESS files.
+The moment the driver lands a new CORRECTNESS_r{N}.json, the recomputation
+shifts and the test FAILS until the prefix is regenerated — a round can no
+longer silently re-prove the identical 50 (VERDICT r8 item 1).
 """
 
 from __future__ import annotations
@@ -23,16 +31,16 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 SAMPLE = 50  # the driver's correctness-gate sample size
 
 
 def latest_green() -> dict[str, int]:
+    """name -> round of the latest green driver row, unioned over all rounds."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_r*.json"))):
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", f)
         if m is None:  # glob is looser than the name pattern
             continue
@@ -48,23 +56,46 @@ def latest_green() -> dict[str, int]:
     return latest
 
 
-def main() -> int:
+def newest_round() -> int:
+    """The highest round number among CORRECTNESS_r*.json files present."""
+    rounds = [int(m.group(1))
+              for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"_r(\d+)\.json$", f))]
+    return max(rounds, default=0)
+
+
+def compute_prefix(pinned: tuple[str, ...] = ()) -> list[str]:
+    """The 50-slot gate prefix: pinned first, then least-recently-gated.
+
+    Deterministic given the catalog and the CORRECTNESS_r*.json set, so the
+    committed ``catalog._RISKIEST`` can be asserted equal to this.
+    """
     from real_big_data_project_spark.plans import queries_map
 
-    pinned = [a for a in sys.argv[1:]]
     allq = list(queries_map())
     unknown = [p for p in pinned if p not in allq]
     if unknown:
-        print(f"ERROR: pinned names not in the catalog: {unknown}",
-              file=sys.stderr)
-        return 1
+        raise ValueError(f"pinned names not in the catalog: {unknown}")
     green = latest_green()
     rest = [q for q in allq if q not in pinned]
     # never-gated first (round 0), then oldest green row; name tiebreak
     rest.sort(key=lambda q: (green.get(q, 0), q))
-    prefix = (pinned + rest)[:SAMPLE]
-    print(f"# rotation prefix ({len(prefix)} of {len(allq)} queries; "
-          f"staleness from {len(green)} gated)")
+    return (list(pinned) + rest)[:SAMPLE]
+
+
+def main() -> int:
+    pinned = tuple(sys.argv[1:])
+    try:
+        prefix = compute_prefix(pinned)
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    green = latest_green()
+    from real_big_data_project_spark.plans import queries_map
+    print(f"# rotation prefix ({len(prefix)} of {len(queries_map())} "
+          f"queries; staleness from {len(green)} gated)")
+    print(f"_ROTATION_VINTAGE = {newest_round()}")
+    print(f"_PINNED: tuple[str, ...] = {pinned!r}")
     print("_RISKIEST: tuple[str, ...] = (")
     for q in prefix:
         rnd = green.get(q)
