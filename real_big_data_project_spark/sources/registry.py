@@ -50,6 +50,30 @@ def fixture_tag(sf_dir: str) -> str:
     return f"{os.path.basename(norm)}_{h.hexdigest()[:10]}"
 
 
+# Recovery-lock staleness TTL. The lock guards only renames/rmtrees (no
+# builds happen inside it), so a healthy holder releases in well under a
+# second; a lock this old means its holder was killed (bench fresh-top5
+# children die at a 240 s subprocess timeout) and must be stolen, or the
+# cache key would stay wedged forever (ADVICE r8).
+_RECOVERY_LOCK_TTL = 120.0
+
+
+def _try_recovery_lock(lock: str) -> int | None:
+    try:
+        return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError:
+        return None  # another recoverer owns the window
+
+
+def _recovery_lock_age(lock: str) -> float:
+    """Seconds since the lock file was created, or -1 if it is gone
+    (a vanished lock is a released one, never 'stale')."""
+    try:
+        return time.time() - os.stat(lock).st_mtime
+    except OSError:
+        return -1.0
+
+
 def ensure_parquet_fixture(
     spark: SparkSession,
     name: str,
@@ -114,11 +138,20 @@ def ensure_parquet_fixture(
                 # a winner that published between our marker check and
                 # the aside rename — is renamed BACK, never deleted.
                 lock = f"{out}.recovery.lock"
-                try:
-                    lock_fd: int | None = os.open(
-                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except OSError:
-                    lock_fd = None  # another recoverer owns the window
+                lock_fd = _try_recovery_lock(lock)
+                if (lock_fd is None
+                        and _recovery_lock_age(lock) > _RECOVERY_LOCK_TTL):
+                    # The holder died mid-recovery (e.g. a bench
+                    # fresh-top5 child killed at its subprocess timeout).
+                    # The critical section is sub-second renames with no
+                    # builds inside, so a lock this old is a corpse, not
+                    # a slow worker — steal it so one crash cannot
+                    # permanently wedge this cache key (ADVICE r8).
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass  # holder released or another stealer won
+                    lock_fd = _try_recovery_lock(lock)
                 if lock_fd is None:
                     # The lock holder will either republish or expose a
                     # winner; our copy is redundant. Wait (bounded) for
@@ -128,6 +161,18 @@ def ensure_parquet_fixture(
                     while (not os.path.exists(success)
                            and time.monotonic() < deadline):
                         time.sleep(0.1)
+                    if (not os.path.exists(success)
+                            and _recovery_lock_age(lock)
+                            > _RECOVERY_LOCK_TTL):
+                        # The holder crashed AFTER we chose to wait: we
+                        # already dropped our tmp so we cannot publish,
+                        # but unlinking the corpse lock lets the NEXT
+                        # builder recover instead of inheriting the
+                        # wedge (ADVICE r8).
+                        try:
+                            os.unlink(lock)
+                        except OSError:
+                            pass
                 else:
                     try:
                         if os.path.exists(success):

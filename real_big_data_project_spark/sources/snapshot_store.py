@@ -125,12 +125,17 @@ def _commit(root: str, version: int, groups: list[str]) -> int:
         ) from None
     except OSError as exc:
         if exc.errno in (errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP,
-                         errno.ENOSYS, errno.EACCES, errno.EXDEV):
+                         errno.ENOSYS, errno.EXDEV):
             # Filesystem can't hard-link (network mounts, FUSE
             # object-store shims, exFAT): NOT a commit conflict —
             # surface the store's POSIX-local-FS requirement instead of
             # a bare errno a caller would misread as contention
-            # (round-7 advice).
+            # (round-7 advice). EACCES is deliberately NOT in this
+            # list: from os.link it almost always means plain permission
+            # denial on a perfectly capable filesystem, and the
+            # 'place the store on a local POSIX filesystem' advice
+            # would mislead that caller (ADVICE r8) — let it surface
+            # as the ordinary PermissionError it is.
             raise OSError(
                 exc.errno,
                 "snapshot store CAS commit requires hard-link support "

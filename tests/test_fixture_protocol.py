@@ -100,6 +100,84 @@ def test_fixture_loser_defers_to_winner_and_never_deletes_it(
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_fixture_stale_recovery_lock_is_stolen(spark, sf_dir, clean):
+    """A .recovery.lock leaked by a killed process (e.g. bench's
+    fresh-top5 children die at a 240 s subprocess timeout) must not wedge
+    the cache key forever: a builder that finds a lock older than the TTL
+    steals it, completes the recovery, and publishes (ADVICE r8)."""
+    import real_big_data_project_spark.sources.registry as reg
+
+    params = "stale=1"
+    out = _fixture_path("fxtest_stalelock", sf_dir, params)
+    # plant a corpse dir (no _SUCCESS) so the recovery path engages...
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-stale.parquet"), "w") as f:
+        f.write("torn write")
+    # ...and a leaked lock whose holder died long ago
+    lock = f"{out}.recovery.lock"
+    with open(lock, "w"):
+        pass
+    old = os.stat(lock).st_mtime - (reg._RECOVERY_LOCK_TTL + 60)
+    os.utime(lock, (old, old))
+
+    got = ensure_parquet_fixture(
+        spark, "fxtest_stalelock", sf_dir, params,
+        lambda: spark.range(6).toDF("v"),
+    )
+    assert got.count() == 6
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(lock)  # stolen and released, not leaked
+
+
+def test_fixture_fresh_recovery_lock_is_respected(spark, sf_dir, clean):
+    """A lock NEWER than the TTL must not be stolen: the waiter defers to
+    the (apparently live) holder — here the 'holder' publishes a valid
+    fixture mid-wait, and the waiter reads it instead of clobbering."""
+    import threading
+
+    params = "fresh=1"
+    out = _fixture_path("fxtest_freshlock", sf_dir, params)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-stale.parquet"), "w") as f:
+        f.write("torn write")
+    lock = f"{out}.recovery.lock"
+    with open(lock, "w"):
+        pass  # fresh mtime — a live recoverer
+
+    def holder_publishes():
+        # Simulate the live lock holder finishing its recovery — but only
+        # once the waiter is provably IN its wait loop (its .build.* tmp
+        # dir appeared, then was discarded by the waiter branch), so the
+        # publish cannot race the waiter's own rename attempt.
+        import glob as _g
+        import time as _t
+
+        seen_tmp = False
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            if _g.glob(f"{out}.build.*"):
+                seen_tmp = True
+            elif seen_tmp:
+                break  # tmp created then removed -> waiter is waiting
+            _t.sleep(0.05)
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = f"{out}.holder"
+        spark.range(11).toDF("v").write.mode("error").parquet(tmp)
+        os.rename(tmp, out)
+        os.unlink(lock)
+
+    t = threading.Thread(target=holder_publishes)
+    t.start()
+    try:
+        got = ensure_parquet_fixture(
+            spark, "fxtest_freshlock", sf_dir, params,
+            lambda: spark.range(2).toDF("v"),
+        )
+    finally:
+        t.join()
+    assert got.count() == 11  # the holder's publish won; no steal
+
+
 def test_snapshot_store_many_writer_cas(spark, tmp_path):
     """N racing appends through the optimistic CAS: every commit lands,
     serialized — the bounded-retry loop converges with real contention,
