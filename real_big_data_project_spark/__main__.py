@@ -5,6 +5,8 @@
     python -m real_big_data_project_spark sql "SELECT ..." --tables DIR
     python -m real_big_data_project_spark bars --tables DIR --cid 1 \
         [--start 2024-01-01] [--end 2024-12-31] [--bollinger 20]
+    python -m real_big_data_project_spark corpus-build --docs DIR \
+        --out DIR [--policy neardup|exact]
 
 `ingest` is `python etl.py` (reference etl/etl.py:833-905): raw snapshot
 feed (+ optional Euronext listings) → companies/markets parquet +
@@ -174,6 +176,31 @@ def cmd_query(spark: SparkSession, args: argparse.Namespace) -> dict:
             "n_rows": len(rows), "rows": rows}
 
 
+def cmd_corpus_build(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """THE corpus-build capstone from the command line: documents in,
+    training chunks out (doc_id, chunk_idx, n_chunk_tokens, chunk_md5).
+    Default policy `neardup` runs
+    q_datapipe_e2e_v2 (MinHash-LSH candidates → connected components →
+    quality-argmax canonical per cluster → quality/language/token-length
+    selection → deterministic hash sampling → overlapping token-window
+    chunking); `exact` runs the cheaper q_datapipe_e2e variant
+    (exact-fingerprint min-id keeper, no LSH/components stage) for
+    corpora where only byte-identical duplicates matter."""
+    from .plans import queries_map
+
+    name = {"neardup": "q_datapipe_e2e_v2", "exact": "q_datapipe_e2e"}[
+        args.policy]
+    df = queries_map()[name](spark, args.docs)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        return {"cmd": "corpus-build", "policy": args.policy, "query": name,
+                "docs": args.docs, "out": args.out, "n_chunks": n}
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    return {"cmd": "corpus-build", "policy": args.policy, "query": name,
+            "docs": args.docs, "n_rows": len(rows), "rows": rows}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -221,6 +248,18 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="sf_dir")
     qr.add_argument("--limit", type=int, default=20)
 
+    cb = sub.add_parser("corpus-build",
+                        help="documents -> training chunks (the "
+                             "q_datapipe_e2e_v2 capstone; --policy exact "
+                             "for the exact-dedup variant)")
+    cb.add_argument("--docs", required=True,
+                    help="dir containing documents.parquet")
+    cb.add_argument("--out",
+                    help="output parquet dir (omit to print sample rows)")
+    cb.add_argument("--policy", choices=("neardup", "exact"),
+                    default="neardup")
+    cb.add_argument("--limit", type=int, default=20)
+
     ex = sub.add_parser("explain",
                         help="print a catalog query's physical plan")
     ex.add_argument("query")
@@ -238,7 +277,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("rbds-cli")
     fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
           "compact": cmd_compact, "delete-keys": cmd_delete_keys,
-          "explain": cmd_explain, "query": cmd_query}[args.cmd]
+          "explain": cmd_explain, "query": cmd_query,
+          "corpus-build": cmd_corpus_build}[args.cmd]
     # default=str: catalog queries legitimately return date/timestamp/Decimal
     # columns, which json can't encode natively (ADVICE r4 — cmd_query crashed
     # on q_vwap_twap); stringifying matches cmd_sql/cmd_bars display semantics.

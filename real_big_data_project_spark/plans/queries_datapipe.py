@@ -1939,14 +1939,20 @@ def _sql_datapipe_e2e() -> str:
 @register(
     "q_datapipe_e2e",
     oracle=_sql_datapipe_e2e(),
-    description="Corpus-build capstone, end to end: quality + language + "
-                "token-length filters ∘ exact-dedup keeper policy ∘ "
-                "deterministic hash sampling ∘ overlapping token-window "
-                "chunking — documents in, training chunks out, one lazy "
-                "plan. Every stage is the already-oracled operator "
-                "(q_corpus_select ∘ q_stratified_sample ∘ q_doc_chunking) "
-                "so this pins that they COMPOSE: map-only passes + one "
-                "dedup hash-agg + broadcast-sized selection joins.",
+    description="Corpus-build capstone, EXACT-dedup variant: quality + "
+                "language + token-length filters ∘ exact-fingerprint "
+                "min-id keeper ∘ deterministic hash sampling ∘ "
+                "overlapping token-window chunking — documents in, "
+                "training chunks out, one lazy plan. Every stage is the "
+                "already-oracled operator (q_corpus_select ∘ "
+                "q_stratified_sample ∘ q_doc_chunking) so this pins that "
+                "they COMPOSE: map-only passes + one dedup hash-agg + "
+                "broadcast-sized selection joins. The DEFAULT capstone a "
+                "user should reach for is q_datapipe_e2e_v2 (near-dup "
+                "canonical policy; CLI `corpus-build`); this variant is "
+                "the cheaper policy for corpora where only byte-identical "
+                "duplicates matter (one hash-agg, no LSH/components "
+                "stage).",
     tags=("datapipe",),
 )
 def q_datapipe_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,12 +2073,14 @@ def _sql_datapipe_e2e_v2() -> str:
 @register(
     "q_datapipe_e2e_v2",
     oracle=_sql_datapipe_e2e_v2(),
-    description="Corpus-build capstone v2 (VERDICT r7 item 6): the "
-                "end-to-end pipeline ships what a trainer actually "
-                "consumes — the dedup stage is NEAR-dup canonical "
-                "selection (MinHash-LSH candidates → min-label components "
-                "→ quality-argmax keeper per cluster, q_dedup_canonical's "
-                "policy) instead of v1's exact-fingerprint min-id keeper; "
+    description="THE corpus-build capstone (CLI `corpus-build` runs it "
+                "by default; v1 q_datapipe_e2e is the exact-dedup "
+                "variant): the end-to-end pipeline ships what a trainer "
+                "actually consumes — the dedup stage is NEAR-dup "
+                "canonical selection (MinHash-LSH candidates → min-label "
+                "components → quality-argmax keeper per cluster, "
+                "q_dedup_canonical's policy) instead of v1's "
+                "exact-fingerprint min-id keeper; "
                 "then quality/language/token-length filters, "
                 "deterministic hash sampling, and overlapping token-"
                 "window chunking, over the planted near-dup corpus. Each "

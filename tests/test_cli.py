@@ -131,3 +131,29 @@ def test_cli_query_runs_catalog_entry(capsys):
     assert out["query"] == "q_counts"
     assert out["n_rows"] >= 1
     assert isinstance(out["rows"], list)
+
+
+def test_cli_corpus_build_default_policy_is_neardup_v2(tmp_path, capsys):
+    """VERDICT r8 item 6: a user reaching for "the corpus build" gets the
+    v2 near-dup canonical capstone by default; --policy exact selects the
+    v1 exact-fingerprint variant. Both write real chunk parquet."""
+    import json as _json
+
+    from real_big_data_project_spark.__main__ import main
+
+    out_dir = str(tmp_path / "chunks")
+    rc = main(["corpus-build", "--docs", "/root/testdata/sf0.001",
+               "--out", out_dir])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["query"] == "q_datapipe_e2e_v2"  # the default policy
+    assert res["n_chunks"] >= 1
+
+    rc = main(["corpus-build", "--docs", "/root/testdata/sf0.001",
+               "--policy", "exact", "--limit", "3"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["query"] == "q_datapipe_e2e"
+    assert res["n_rows"] >= 1
+    assert {"doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"} <= set(
+        res["rows"][0])

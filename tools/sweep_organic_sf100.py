@@ -1,0 +1,167 @@
+"""Third-decade scale check for the pair-bound dedup family:
+organic_sf10 (500k docs) -> organic_sf100 (5M docs / 2M embeddings).
+
+VERDICT r7 item 1 / r8 item 2: the organic sf1->sf10 sweep
+(tools/sweep_organic.py) prices the pair-bound plans one decade above the
+bench scale on a corpus whose TRUE near-duplicate pairs grow linearly
+with rows. This harness pushes the heaviest of those plans one MORE
+decade — the difference between "linear so far" and "linear" for the
+family whose candidate generation is the 100 TB story. Same protocol as
+the other isolated sweeps: one subprocess (fresh JVM) per pick, an
+UNTIMED warm pass per (query, scale) leg, then best-of-2 timed passes;
+ratio = t_sf100 / t_sf10, flagged above 12 for 10x rows.
+
+Prerequisite (round 9): the organic corpora are generated with the
+4096-word vocabulary — see make_organic_corpus.py's round-9 note. Under
+the original 31-word vocabulary, RANDOM band collisions grew ~n²
+(measured 80-94x candidate growth per decade; ~1.4B minhash candidates
+and ~4.3B simhash pairs extrapolated at 5M docs), so a third decade
+would have priced corpus degeneracy, not the plans. With the fixed
+vocabulary, true pairs are the planted ones alone (linear) at every
+decade, and a superlinear ratio here is REAL.
+
+Pick notes:
+- q_dedup_exact rides along as the linear control.
+- Correctness on the organic corpus: exact/minhash/ngram run their
+  DuckDB oracles at organic_sf10 IN THIS SWEEP (one decade above where
+  sweep_organic.py oracles them); simhash's mirror is signature-
+  recompute-bound (~90 s at 83k docs) and stays oracled at sf1 by
+  sweep_organic.py; components/canonical have no organic-scale mirror
+  and are driver-gated at sf0.01.
+- q_semantic_dedup is priced as the PRODUCTION variant
+  (k='auto' ≈ n/64, capped 4096 — similarity.auto_semdedup_k): the
+  catalog query pins k=16 for oracle determinism, and the SemDeDup
+  scale contract (within-cluster scoring is O(n²/k)) makes a fixed k
+  quadratic BY DESIGN one decade up — pricing it here would measure the
+  oracle pin, not the operator. The row is labeled
+  q_semantic_dedup_autok.
+
+Output: _artifacts/sweep_organic_sf100.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
+SF100 = os.path.join(REPO, "_artifacts", "organic_sf100")
+OUT = os.path.join(REPO, "_artifacts", "sweep_organic_sf100.json")
+RATIO_FLAG = 12.0
+SINGLE_TIMEOUT_S = 3600
+
+# (pick, oracle_at_organic_sf10)
+PICKS: tuple[tuple[str, bool], ...] = (
+    ("q_dedup_exact", True),
+    ("q_dedup_minhash_lsh", True),
+    ("q_dedup_ngram_jaccard", True),
+    ("q_dedup_simhash", False),
+    ("q_dedup_components", False),
+    ("q_dedup_canonical", False),
+    ("q_semantic_dedup_autok", False),
+)
+
+
+def _ensure_corpora() -> None:
+    def _complete(d: str) -> bool:
+        return all(
+            os.path.exists(os.path.join(d, t))
+            for t in ("documents.parquet", "embeddings.parquet")
+        )
+
+    if not (_complete(SF10) and _complete(SF100)):
+        import make_organic_corpus  # deterministic, seed 777
+
+        make_organic_corpus.main()
+
+
+def _builder(name: str):
+    """Resolve a pick to its (spark, sf_dir) -> DataFrame builder."""
+    if name == "q_semantic_dedup_autok":
+        def autok(spark, sf_dir):
+            from real_big_data_project_spark.datapipe import similarity as SIM
+            from real_big_data_project_spark.sources import registry as R
+
+            emb = R.load_table(spark, sf_dir, "embeddings")
+            return SIM.semantic_dedup(emb, k="auto", threshold=0.9)
+
+        return autok, None
+    from real_big_data_project_spark.plans import catalog as C
+
+    C._load_all()
+    spec = C.QUERIES[name]
+    return spec.builder, spec
+
+
+def run_single(name: str, want_oracle: bool) -> int:
+    """Time ONE pick in this (fresh) process; the row is the final
+    stdout line. Regenerates the organic corpora if missing."""
+    from pyspark.sql import SparkSession
+
+    _ensure_corpora()
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName(f"sweep-organic-sf100-{name}")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "64g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from real_big_data_project_spark.plans.oracle_check import check_query
+
+    builder, spec = _builder(name)
+    row: dict = {}
+    for sf_dir, key in ((SF10, "t_sf10"), (SF100, "t_sf100")):
+        builder(spark, sf_dir).count()  # warm: fixtures, JIT
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = builder(spark, sf_dir).count()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+            spark._jvm.System.gc()
+        row[key] = round(best, 2)
+        row["rows_sf100" if key == "t_sf100" else "rows_sf10"] = n
+    row["ratio"] = round(row["t_sf100"] / max(row["t_sf10"], 0.05), 1)
+    if want_oracle and spec is not None and spec.oracle is not None:
+        t0 = time.time()
+        res = check_query(spark, name, SF10)
+        row["oracle_sf10_s"] = round(time.time() - t0, 2)
+        row["ok"] = bool(res.ok)
+        row["bit_equal"] = bool(res.values_bit_equal)
+        if not res.ok:
+            row["detail"] = res.detail[:300]
+    print(json.dumps(row))
+    return 0
+
+
+def main() -> int:
+    from _sweep_common import drive_picks
+
+    _ensure_corpora()
+    return drive_picks(
+        __file__, PICKS, OUT, RATIO_FLAG, SINGLE_TIMEOUT_S,
+        summary_extra={
+            "corpus": "organic (fresh-entropy, seed 777, 4096-word vocab; "
+                      "true pairs ~ linear)",
+            "scales": "organic_sf10 (500k docs / 200k emb) -> "
+                      "organic_sf100 (5M docs / 2M emb)",
+            "oracles": "exact/minhash/ngram at organic_sf10",
+        },
+        sf1_label="sf10",
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--single":
+        raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
+    raise SystemExit(main())
