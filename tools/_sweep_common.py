@@ -44,12 +44,34 @@ def drive_picks(
 ) -> int:
     """Run every (name, want_oracle) pick as `script --single name 0|1`,
     collect rows, flag ratios above `ratio_flag`, write the record, and
-    return non-zero if any pick mismatched or errored."""
+    return non-zero if any pick mismatched or errored.
+
+    The record is rewritten after EVERY pick with ``"complete": false``
+    until the sweep finishes: a sweep killed mid-run (wall-clock budget,
+    machine reboot) must not leave a prior run's STALE record in place
+    presenting itself as current — exactly how the round-7
+    superlinear list survived round 8 unrefreshed (VERDICT r8 Wrong 1)."""
     report: dict[str, dict] = {}
     mismatches: list[str] = []
     errors: list[str] = []
     superlinear: list[str] = []
     repo = os.path.dirname(os.path.dirname(os.path.abspath(script)))
+
+    def _write(complete: bool) -> dict:
+        summary = {
+            "n": len(picks),
+            "n_run": len(report),
+            "complete": complete,
+            "isolation": "one subprocess (fresh JVM) per pick",
+            **(summary_extra or {}),
+            "mismatches": mismatches,
+            "errors": errors,
+            f"superlinear_gt{int(ratio_flag)}x": superlinear,
+        }
+        with open(out_path, "w") as f:
+            json.dump({"summary": summary, "queries": report}, f, indent=1)
+        return summary
+
     for i, (name, want_oracle) in enumerate(picks):
         row: dict = {}
         try:
@@ -71,20 +93,12 @@ def drive_picks(
         if row.get("ratio", 0) > ratio_flag:
             superlinear.append(name)
         report[name] = row
+        _write(complete=False)
         status = row.get("error") or (
             "MISMATCH" if name in mismatches else "OK")
         print(f"[{i + 1}/{len(picks)}] {name}: {sf1_label} "
               f"{row.get('t_sf1')}s sf10 {row.get('t_sf10')}s "
               f"x{row.get('ratio')} {status}", flush=True)
-    summary = {
-        "n": len(picks),
-        "isolation": "one subprocess (fresh JVM) per pick",
-        **(summary_extra or {}),
-        "mismatches": mismatches,
-        "errors": errors,
-        f"superlinear_gt{int(ratio_flag)}x": superlinear,
-    }
-    with open(out_path, "w") as f:
-        json.dump({"summary": summary, "queries": report}, f, indent=1)
+    summary = _write(complete=True)
     print(json.dumps(summary))
     return 1 if (mismatches or errors) else 0

@@ -141,29 +141,41 @@ def _write_chunked(path: str, total: int, chunk: int, make_chunk,
             writer.close()
 
 
+SCALES: tuple[tuple[str, int, int], ...] = (
+    ("organic_sf1", 50_000, 20_000),
+    ("organic_sf10", 500_000, 200_000),
+    ("organic_sf100", 5_000_000, 2_000_000),
+)
+
+
+def build_scale(tag: str, n_docs: int, n_emb: int) -> str:
+    """Generate ONE organic decade (idempotent inputs — deterministic
+    given (SEED, n_docs)); returns the output dir."""
+    dst = os.path.join(REPO, "_artifacts", tag)
+    os.makedirs(dst, exist_ok=True)
+    # independent per-dir streams: no corpus embeds another as a
+    # prefix (no accidental replication between decades)
+    rng = np.random.default_rng([SEED, n_docs])
+    # Small row groups: Spark assigns parquet splits by row-group
+    # position, so oversized groups pin scans (and every pre-shuffle
+    # stage above them) to too few tasks — the first sweep run
+    # measured exact dedup 3.7x slower purely from that. 2048
+    # rows/group gives the sf1 leg ≥ 24 splits so it saturates
+    # local[32] like the bigger legs; the sf100 leg uses 8192 (610
+    # groups — still ~19 splits/core — while keeping footer metadata
+    # proportionate).
+    rg = 8192 if n_docs >= 5_000_000 else 2048
+    _write_chunked(os.path.join(dst, "documents.parquet"),
+                   n_docs, DOC_CHUNK, _doc_chunk, rng, rg)
+    _write_chunked(os.path.join(dst, "embeddings.parquet"),
+                   n_emb, EMB_CHUNK, _emb_chunk, rng, rg)
+    print(f"{tag}: {n_docs} docs, {n_emb} embeddings")
+    return dst
+
+
 def main() -> None:
-    for tag, n_docs, n_emb in (("organic_sf1", 50_000, 20_000),
-                               ("organic_sf10", 500_000, 200_000),
-                               ("organic_sf100", 5_000_000, 2_000_000)):
-        dst = os.path.join(REPO, "_artifacts", tag)
-        os.makedirs(dst, exist_ok=True)
-        # independent per-dir streams: no corpus embeds another as a
-        # prefix (no accidental replication between decades)
-        rng = np.random.default_rng([SEED, n_docs])
-        # Small row groups: Spark assigns parquet splits by row-group
-        # position, so oversized groups pin scans (and every pre-shuffle
-        # stage above them) to too few tasks — the first sweep run
-        # measured exact dedup 3.7x slower purely from that. 2048
-        # rows/group gives the sf1 leg ≥ 24 splits so it saturates
-        # local[32] like the bigger legs; the sf100 leg uses 8192 (610
-        # groups — still ~19 splits/core — while keeping footer metadata
-        # proportionate).
-        rg = 8192 if n_docs >= 5_000_000 else 2048
-        _write_chunked(os.path.join(dst, "documents.parquet"),
-                       n_docs, DOC_CHUNK, _doc_chunk, rng, rg)
-        _write_chunked(os.path.join(dst, "embeddings.parquet"),
-                       n_emb, EMB_CHUNK, _emb_chunk, rng, rg)
-        print(f"{tag}: {n_docs} docs, {n_emb} embeddings")
+    for tag, n_docs, n_emb in SCALES:
+        build_scale(tag, n_docs, n_emb)
 
 
 if __name__ == "__main__":
