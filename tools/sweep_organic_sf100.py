@@ -6,10 +6,15 @@ VERDICT r7 item 1 / r8 item 2: the organic sf1->sf10 sweep
 bench scale on a corpus whose TRUE near-duplicate pairs grow linearly
 with rows. This harness pushes the heaviest of those plans one MORE
 decade — the difference between "linear so far" and "linear" for the
-family whose candidate generation is the 100 TB story. Same protocol as
-the other isolated sweeps: one subprocess (fresh JVM) per pick, an
-UNTIMED warm pass per (query, scale) leg, then best-of-2 timed passes;
-ratio = t_sf100 / t_sf10, flagged above 12 for 10x rows.
+family whose candidate generation is the 100 TB story. Same isolation
+as the other sweeps: one subprocess (fresh JVM) per pick and an UNTIMED
+warm pass per (query, scale) leg. The sf10 leg then takes best-of-2
+timed passes (seconds-long legs — one GC pause can dominate a single
+sample); the sf100 leg takes ONE timed pass: these legs run minutes, so
+GC noise amortizes below the ratio's resolution, the warm pass has
+already separated steady-state plan cost from first-use costs, and a
+second multi-minute pass per pick would double a multi-hour sweep for
+no information. ratio = t_sf100 / t_sf10, flagged above 12 for 10x rows.
 
 Prerequisite (round 9): the organic corpora are generated with the
 4096-word vocabulary — see make_organic_corpus.py's round-9 note. Under
@@ -53,7 +58,7 @@ SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
 SF100 = os.path.join(REPO, "_artifacts", "organic_sf100")
 OUT = os.path.join(REPO, "_artifacts", "sweep_organic_sf100.json")
 RATIO_FLAG = 12.0
-SINGLE_TIMEOUT_S = 3600
+SINGLE_TIMEOUT_S = 5400  # sf10 legs + sf100 warm + timed + sf10 oracle
 
 # (pick, oracle_at_organic_sf10)
 PICKS: tuple[tuple[str, bool], ...] = (
@@ -120,10 +125,10 @@ def run_single(name: str, want_oracle: bool) -> int:
 
     builder, spec = _builder(name)
     row: dict = {}
-    for sf_dir, key in ((SF10, "t_sf10"), (SF100, "t_sf100")):
+    for sf_dir, key, passes in ((SF10, "t_sf10", 2), (SF100, "t_sf100", 1)):
         builder(spark, sf_dir).count()  # warm: fixtures, JIT
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(passes):
             t0 = time.time()
             n = builder(spark, sf_dir).count()
             t = time.time() - t0
