@@ -96,8 +96,9 @@ def drive_picks(
         _write(complete=False)
         status = row.get("error") or (
             "MISMATCH" if name in mismatches else "OK")
-        print(f"[{i + 1}/{len(picks)}] {name}: {sf1_label} "
-              f"{row.get('t_sf1')}s sf10 {row.get('t_sf10')}s "
+        legs = " ".join(f"{k}={row[k]}s" for k in sorted(row)
+                        if k.startswith("t_"))
+        print(f"[{i + 1}/{len(picks)}] {name}: {legs or sf1_label} "
               f"x{row.get('ratio')} {status}", flush=True)
     summary = _write(complete=True)
     print(json.dumps(summary))
