@@ -82,8 +82,19 @@ def drive_picks(
                 env=os.environ.copy(), cwd=repo,
             )
             if p.returncode != 0:
+                # Spark buries the real cause thousands of lines above the
+                # progress-bar tail — surface the exception lines
+                # themselves, not whatever 300 chars happened to be last
+                # (the round-9 sf100 ngram failure's tail was all
+                # stage-progress redraws).
+                exc_lines = [
+                    ln.strip() for ln in p.stderr.splitlines()
+                    if ("Exception" in ln or "Error" in ln
+                        or ln.startswith("Caused by"))
+                ][:6]
                 raise RuntimeError(
-                    f"rc={p.returncode} tail={p.stderr.strip()[-300:]!r}")
+                    f"rc={p.returncode} exc={exc_lines!r} "
+                    f"tail={p.stderr.strip()[-200:]!r}")
             row = parse_row(p.stdout)
         except Exception as exc:  # noqa: BLE001 — record and continue
             row["error"] = f"{type(exc).__name__}: {exc}"[:300]
