@@ -235,7 +235,20 @@ def ngram_jaccard_pairs(
     # explode+collect_set per side (checkpoint IO + block-manager
     # residency the session then carries) — the pin rule's value-width
     # counter-case, same verdict as the exploded-band pin.
-    sh = shingle_sets(docs, n_shingle, id_col, text_col)
+    #
+    # Shingles travel the two verification shuffles as xxhash64 LONGS,
+    # not raw strings: set cardinalities — the only thing Jaccard reads —
+    # are preserved because a deterministic hash maps distinct shingles
+    # to distinct longs (collision odds ~|set|²·|pairs|/2⁶⁴ ≈ 5e-9 at the
+    # organic sf100 scale; the DuckDB oracle over raw string lists stays
+    # bit-equal). This is a ~3× shuffle-width cut (avg 3-token shingle
+    # ≈ 25 B UTF-8 vs 8 B long): the raw-string form's verification
+    # shuffle wrote ~2.4 GB per 100k docs and ENOSPC'd the 5M-doc
+    # organic sf100 leg on this machine's 78 GB of free scratch.
+    sh = shingle_sets(docs, n_shingle, id_col, text_col).select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = (

@@ -41,6 +41,7 @@ def drive_picks(
     timeout_s: int,
     summary_extra: dict | None = None,
     sf1_label: str = "sf1",
+    resume: bool = False,
 ) -> int:
     """Run every (name, want_oracle) pick as `script --single name 0|1`,
     collect rows, flag ratios above `ratio_flag`, write the record, and
@@ -50,12 +51,29 @@ def drive_picks(
     until the sweep finishes: a sweep killed mid-run (wall-clock budget,
     machine reboot) must not leave a prior run's STALE record in place
     presenting itself as current — exactly how the round-7
-    superlinear list survived round 8 unrefreshed (VERDICT r8 Wrong 1)."""
+    superlinear list survived round 8 unrefreshed (VERDICT r8 Wrong 1).
+
+    ``resume=True`` reloads an interrupted record and re-runs only the
+    picks without a CLEAN prior row (missing, errored, or mismatched):
+    the sf100 legs run minutes each, so a sweep killed at pick 5/7 should
+    pay for picks 6–7, not the whole multi-hour pass again. Carried rows
+    are re-accounted against the CURRENT pick list, so a carried error
+    row still fails the sweep until its pick re-runs clean."""
     report: dict[str, dict] = {}
     mismatches: list[str] = []
     errors: list[str] = []
     superlinear: list[str] = []
     repo = os.path.dirname(os.path.dirname(os.path.abspath(script)))
+
+    carried: dict[str, dict] = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        names = {name for name, _ in picks}
+        carried = {
+            n: r for n, r in prior.items()
+            if n in names and "error" not in r and r.get("ok") is not False
+        }
 
     def _write(complete: bool) -> dict:
         summary = {
@@ -74,6 +92,15 @@ def drive_picks(
 
     for i, (name, want_oracle) in enumerate(picks):
         row: dict = {}
+        if name in carried:
+            row = carried[name]
+            if row.get("ratio", 0) > ratio_flag:
+                superlinear.append(name)
+            report[name] = row
+            _write(complete=False)
+            print(f"[{i + 1}/{len(picks)}] {name}: carried from prior run",
+                  flush=True)
+            continue
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(script),

@@ -149,12 +149,13 @@ def run_single(name: str, want_oracle: bool) -> int:
     return 0
 
 
-def main() -> int:
+def main(resume: bool = False) -> int:
     from _sweep_common import drive_picks
 
     _ensure_corpora()
     return drive_picks(
         __file__, PICKS, OUT, RATIO_FLAG, SINGLE_TIMEOUT_S,
+        resume=resume,
         summary_extra={
             "corpus": "organic (fresh-entropy, seed 777, 4096-word vocab; "
                       "true pairs ~ linear)",
@@ -169,4 +170,4 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) == 4 and sys.argv[1] == "--single":
         raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
-    raise SystemExit(main())
+    raise SystemExit(main(resume="--resume" in sys.argv[1:]))

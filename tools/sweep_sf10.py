@@ -138,16 +138,17 @@ def run_single(name: str, want_oracle: bool) -> int:
     return 0
 
 
-def main() -> int:
+def main(resume: bool = False) -> int:
     from _sweep_common import drive_picks
 
     return drive_picks(
         __file__, PICKS, OUT, ratio_flag=10.0,
         timeout_s=SINGLE_TIMEOUT_S, sf1_label="sf1.0",
+        resume=resume,
     )
 
 
 if __name__ == "__main__":
     if len(sys.argv) == 4 and sys.argv[1] == "--single":
         raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
-    raise SystemExit(main())
+    raise SystemExit(main(resume="--resume" in sys.argv[1:]))
