@@ -127,6 +127,12 @@ def run_single(name: str, want_oracle: bool) -> int:
     row: dict = {}
     for sf_dir, key, passes in ((SF10, "t_sf10", 2), (SF100, "t_sf100", 1)):
         builder(spark, sf_dir).count()  # warm: fixtures, JIT
+        # Drop the warm pass's shuffle files BEFORE timing: the sf100
+        # legs write ~60 GB of shuffle each, and ContextCleaner only
+        # removes them on JVM GC — without this the timed pass runs with
+        # the warm pass's files still on disk (the ngram leg ENOSPC'd
+        # this machine's scratch exactly that way).
+        spark._jvm.System.gc()
         best, n = None, 0
         for _ in range(passes):
             t0 = time.time()
