@@ -236,18 +236,22 @@ def ngram_jaccard_pairs(
     # residency the session then carries) — the pin rule's value-width
     # counter-case, same verdict as the exploded-band pin.
     #
-    # Shingles travel the two verification shuffles as xxhash64 LONGS,
-    # not raw strings: set cardinalities — the only thing Jaccard reads —
-    # are preserved because a deterministic hash maps distinct shingles
-    # to distinct longs (collision odds ~|set|²·|pairs|/2⁶⁴ ≈ 5e-9 at the
+    # Shingles travel every shuffle here as xxhash64 LONGS, not raw
+    # strings: set cardinalities — the only thing Jaccard reads — are
+    # preserved because a deterministic hash maps distinct shingles to
+    # distinct longs (collision odds ~|set|²·|pairs|/2⁶⁴ ≈ 5e-9 at the
     # organic sf100 scale; the DuckDB oracle over raw string lists stays
-    # bit-equal). This is a ~3× shuffle-width cut (avg 3-token shingle
-    # ≈ 25 B UTF-8 vs 8 B long): the raw-string form's verification
-    # shuffle wrote ~2.4 GB per 100k docs and ENOSPC'd the 5M-doc
-    # organic sf100 leg on this machine's 78 GB of free scratch.
-    sh = shingle_sets(docs, n_shingle, id_col, text_col).select(
-        "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    # bit-equal). Hashing on the EXPLODED rows, before the collect_set,
+    # narrows both the per-doc aggregate's shuffle (16 B/row vs an avg
+    # 3-token shingle ≈ 25 B UTF-8) and the two verification joins
+    # (array<long> vs array<string>): the raw-string form's cumulative
+    # shuffle ENOSPC'd the 5M-doc organic sf100 leg on this machine's
+    # 78 GB of free scratch.
+    sh = (
+        exploded_shingles(docs, n_shingle, id_col, text_col)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("shingles"))
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -654,8 +658,13 @@ def simjoin_prefix(
     # as pair×token rows, but without the 6M-row shuffle + re-agg), and
     # the intersection size is a map-side array_intersect in the final
     # projection. Shingles are distinct per doc, so set semantics hold.
+    # The arrays carry xxhash64 LONGS, not raw shingle strings — same
+    # hashed-transport rationale as ngram_jaccard_pairs (intersection
+    # size is all the verification reads; ~3× narrower shuffle, and the
+    # organic sf100 ENOSPC showed raw-string transport is what breaks
+    # first at scale).
     arrs = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("_sh_arr"),
+        F.collect_list(F.xxhash64("shingle")).alias("_sh_arr"),
         F.count("*").alias("n_sh"),
     )
     aa = arrs.select(F.col("doc_id").alias("da"),

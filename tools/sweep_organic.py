@@ -127,7 +127,7 @@ def run_single(name: str, want_oracle: bool) -> int:
     return 0
 
 
-def main() -> int:
+def main(resume: bool = False) -> int:
     from _sweep_common import drive_picks
 
     _ensure_corpora()
@@ -135,10 +135,11 @@ def main() -> int:
         __file__, PICKS, OUT, RATIO_FLAG, SINGLE_TIMEOUT_S,
         summary_extra={"corpus": "organic (fresh-entropy, seed 777; "
                                  "true pairs ~ linear)"},
+        resume=resume,
     )
 
 
 if __name__ == "__main__":
     if len(sys.argv) == 4 and sys.argv[1] == "--single":
         raise SystemExit(run_single(sys.argv[2], sys.argv[3] == "1"))
-    raise SystemExit(main())
+    raise SystemExit(main(resume="--resume" in sys.argv[1:]))
