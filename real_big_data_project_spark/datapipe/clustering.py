@@ -19,9 +19,11 @@ Scale shape: centroids are k×dim (tiny) and are BROADCAST to the
 assignment pass — a map-only pass over the corpus, no corpus shuffle.
 The update pass explodes dimensions and runs ONE codegen'd avg aggregate
 (map-side partials). Per-iteration cost: one broadcast + one shuffle of
-k×dim aggregates, corpus touched twice. The per-vector distance loop is a
-HOF over a bounded 64-dim array — the case where HOFs are fine
-(PERF_NOTES.md rule).
+k×dim aggregates, corpus touched twice. The per-candidate distance is an
+UNROLLED fixed-dim expression (codegen), not an interpreted HOF fold:
+the assignment evaluates it n·k times, and at the production SemDeDup k
+(≤4096) the interpreted evaluator — not the shuffle — was the plan cost.
+The HOF form survives only as the dim-unknown fallback.
 """
 
 from __future__ import annotations
@@ -39,7 +41,22 @@ def _sq_l2(a: str, b: str) -> F.Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _sq_l2_fixed(a: str, b: str, dim: int) -> F.Column:
+    """``_sq_l2`` unrolled over a known dimension: identical sequential
+    accumulation order (bit-identical distances), but codegen'd instead
+    of the interpreted HOF evaluator. The assignment pass evaluates this
+    n·k times — at the production k (auto_semdedup_k caps at 4096) the
+    interpreted fold, not the shuffle, was the plan cost (8.2e9
+    interpreted evaluations at the 2M-vector organic sf100 scale)."""
+    acc: F.Column = F.lit(0.0)
+    for i in range(dim):
+        d = F.col(a)[i] - F.col(b)[i]
+        acc = acc + d * d
+    return acc
+
+
+def _assign(vecs: DataFrame, cents: DataFrame,
+            dim: int | None = None) -> DataFrame:
     """(vec_id, v, cluster, dist): nearest centroid per vector — broadcast
     cross join (k rows per vector), rounded-distance argmin, cluster-index
     tiebreak.
@@ -52,9 +69,10 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     rows), the aggregate collapses the k candidates map-side and
     shuffles one row per vector."""
     best = F.min(F.struct("dist", "cluster", "v")).alias("_b")
+    sq = _sq_l2_fixed("v", "c", dim) if dim else _sq_l2("v", "c")
     return (
         vecs.crossJoin(F.broadcast(cents))
-        .withColumn("dist", F.round(_sq_l2("v", "c"), DIST_ROUND))
+        .withColumn("dist", F.round(sq, DIST_ROUND))
         .groupBy("vec_id")
         .agg(best)
         .select(
@@ -95,16 +113,19 @@ def kmeans_assign(
     empty (each seed is at distance 0 from its own centroid), so neither
     engine needs an empty-cluster repair rule.
     """
+    from ..functions.vectors import infer_dim
+
     vecs = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    dim = infer_dim(vecs, "v")  # one LIMIT-1 job; unlocks codegen distances
     seeds = vecs.orderBy("vec_id").limit(k)  # TakeOrdered — distributed
     sw = Window.orderBy("vec_id")  # k rows only: the global window is safe
     cents = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
         "cluster", F.col("v").alias("c")
     )
-    assigned = _assign(vecs, cents)
+    assigned = _assign(vecs, cents, dim)
     for _ in range(n_assign - 1):
         cents = _update(assigned)
-        assigned = _assign(vecs, cents)
+        assigned = _assign(vecs, cents, dim)
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )

@@ -6,8 +6,12 @@ per-query top-k shuffle, which scales linearly in corpus size on any
 number of executors. The sign-LSH bucketed variant is the sublinear path:
 one shuffle on the bucket key, each query probes only its own cell.
 
-All vector math is higher-order functions on doubles (functions/vectors.py)
-— JVM-side, no Python. Similarities are rounded before thresholding /
+All vector math is JVM-side expressions on doubles (functions/vectors.py)
+— no Python. Hot paths (per-candidate dots, corpus norms) use the
+UNROLLED fixed-dim forms, which whole-stage-codegen compiles, instead of
+interpreted higher-order-function folds; the accumulation order is
+identical, so results are bit-equal to the HOF forms that remain as the
+dim-unknown fallback. Similarities are rounded before thresholding /
 ranking so the DuckDB oracle (different summation internals) agrees.
 """
 
@@ -16,12 +20,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_given_norms, norm, sign_bucket
+from ..functions.vectors import (
+    cosine,
+    cosine_given_norms,
+    cosine_given_norms_fixed,
+    infer_dim,
+    norm,
+    norm_fixed,
+    sign_bucket,
+)
 
 SIM_ROUND = 5  # absorb cross-engine float-summation jitter
 PERTURB_EPS = 0.01
 DEFAULT_BUCKET_DIMS = list(range(8))
 AUTO_TARGET_CELL = 32  # aimed-for vectors per LSH cell under auto sizing
+
+
+def _cgn(a, b, na, nb, dim: int | None):
+    """cosine_given_norms, codegen'd via the unrolled fixed-dim dot when
+    the dimension is known (bit-identical — same accumulation order; see
+    functions/vectors.py::dot_fixed), interpreted-HOF fallback otherwise.
+    Candidate-heavy plans (every scored pair pays one dot fold) are
+    dominated by the interpreted evaluator, not the shuffle."""
+    if dim:
+        return cosine_given_norms_fixed(a, b, na, nb, dim)
+    return cosine_given_norms(a, b, na, nb)
+
+
+def _norm(v, dim: int | None):
+    return norm_fixed(v, dim) if dim else norm(v)
 
 
 def auto_bucket_dims(
@@ -91,14 +118,15 @@ def ann_brute_topk(
     are precomputed per vector so each scored pair pays one dot fold
     (cosine_given_norms).
     """
+    dim = infer_dim(emb, vec_col)
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("nv", norm("v"))
+    ).withColumn("nv", _norm("v", dim))
     q = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         F.col("nv").alias("qn"),
     )
-    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = (
         vecs.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
@@ -165,10 +193,13 @@ def ann_bucket_topk(
     bucket-key join: the probe fan-out lives on the broadcast query side,
     so the corpus is never reshuffled."""
     dims = _resolve_dims(bucket_dims, emb, id_col)
+    dim = infer_dim(emb, vec_col)
     vecs = emb.select(
         F.col(id_col),
         as_double(vec_col).alias("v"),
-    ).withColumn("bucket", sign_bucket("v", dims)).withColumn("nv", norm("v"))
+    ).withColumn("bucket", sign_bucket("v", dims)).withColumn(
+        "nv", _norm("v", dim)
+    )
     q = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .select(
@@ -178,7 +209,7 @@ def ann_bucket_topk(
             F.explode(probe_buckets("v", dims, n_probe)).alias("qbucket"),
         )
     )
-    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = (
         vecs.join(
             F.broadcast(q),
@@ -327,8 +358,9 @@ def ann_ivf_topk(
     below (centroid aggregate, query probe, inverted-list scan), and
     without the pin each consumer would re-execute the whole clustering
     — exactly what an offline IVF build materializes in practice."""
+    dim = infer_dim(emb, vec_col)
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
-        "nv", norm("v")
+        "nv", _norm("v", dim)
     )
     if lists is not None:
         # eager=False: pin the lineage cut but defer execution to the
@@ -339,7 +371,7 @@ def ann_ivf_topk(
     probes = _probe_select(vecs, query_ids, cents, n_probe, id_col).drop(
         "probe_rank"
     )
-    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = (
         vecs.join(
             F.broadcast(probes),
@@ -397,14 +429,15 @@ def embedding_near_duplicates(
     slower at sf0.1). The checkpoint materializes only (id, id, sim) —
     candidate-sized, bucket-bounded."""
     dims = _resolve_dims(bucket_dims, emb, id_col)
+    dim = infer_dim(emb, vec_col)
     vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col).withColumn(
         "bucket", sign_bucket("v", dims)
-    ).withColumn("nv", norm("v"))
+    ).withColumn("nv", _norm("v", dim))
     a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                     F.col("bucket").alias("ba"), F.col("nv").alias("na"))
     b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
                     F.col("bucket").alias("bb"), F.col("nv").alias("nb"))
-    sim = F.round(cosine_given_norms("va", "vb", "na", "nb"), SIM_ROUND)
+    sim = F.round(_cgn("va", "vb", "na", "nb", dim), SIM_ROUND)
     scored = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", sim.alias("sim"))
@@ -440,9 +473,12 @@ def knn_graph(
     least-confident bit-flip cells (probe_buckets) — query-side fan-out
     only, the neighbor side is still hashed once."""
     dims = _resolve_dims(bucket_dims, emb, id_col)
+    dim = infer_dim(emb, vec_col)
     vecs = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", sign_bucket("v", dims)).withColumn("nv", norm("v"))
+    ).withColumn("bucket", sign_bucket("v", dims)).withColumn(
+        "nv", _norm("v", dim)
+    )
     a = vecs.select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -455,7 +491,7 @@ def knn_graph(
         F.col("nv"),
         F.col("bucket").alias("nbucket"),
     )
-    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = (
         a.join(
             b,
@@ -510,13 +546,14 @@ def semantic_dedup(
     vecs = with_perturbed_copies(
         emb, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
+    dim = infer_dim(emb, vec_col)
     if k == "auto":
         # one count job — an offline dedup run knows its corpus size anyway
         k = auto_semdedup_k(vecs.count())
     asg = kmeans_assign(vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v")
     lv = vecs.join(
         asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"
-    ).withColumn("nv", norm("v"))
+    ).withColumn("nv", _norm("v", dim))
     # Pin the labeled vectors: `lv` fans out into both sides of the pair
     # join AND the final keep join, and its lineage is the full live
     # k-means (two broadcast-centroid assignment passes over the corpus)
@@ -537,7 +574,7 @@ def semantic_dedup(
     # label/id comparisons, and map-side-combines to one row per
     # candidate before the shuffle. NULL sims (zero-norm vectors) are
     # ignored by MAX, matching the filter's NULL-drops semantics.
-    sim = cosine_given_norms("va", "vb", "na", "nb")
+    sim = _cgn("va", "vb", "na", "nb", dim)
     dup = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("_ib") < F.col("_ia")))
         .select(F.col("_ia").alias("vec_id"),
@@ -680,8 +717,9 @@ def ann_ivf_recall_sweep(
     prices probe-select + list scan only. ``truth`` uses the shared
     (query_id, neighbor_id, ...) top-k contract (ann_brute_topk)."""
     p_max = max(n_probes)
+    dim = infer_dim(emb, vec_col)
     vecs = _with_lists(emb, id_col, vec_col, list_col, lists).withColumn(
-        "nv", norm("v")
+        "nv", _norm("v", dim)
     )
     if lists is not None and centroids is None:
         # Same pin as ann_ivf_topk: `vecs` fans out into the centroid
@@ -698,7 +736,7 @@ def ann_ivf_recall_sweep(
         vecs = vecs.localCheckpoint(eager=False)
     cents = _centroids(vecs) if centroids is None else centroids
     probes = _probe_select(vecs, query_ids, cents, p_max, id_col)
-    sim = F.round(cosine_given_norms("qv", "v", "qn", "nv"), SIM_ROUND)
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = vecs.join(
         F.broadcast(probes),
         (F.col("label") == F.col("probe_label"))
