@@ -103,8 +103,14 @@ def run_single(name: str, want_oracle: bool) -> int:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName(f"sweep-sf10-{name}")
-        .config("spark.sql.shuffle.partitions", "64")
+        # Fixed partition SIZE, not COUNT (same rationale as
+        # sweep_organic_sf100.py): enough initial partitions that AQE's
+        # 64 MB advisory target — not the initial count — decides the
+        # effective parallelism at BOTH legs, so a ratio prices the
+        # plan rather than this box's spill behavior at the bigger leg.
+        .config("spark.sql.shuffle.partitions", "512")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "64g")
         .getOrCreate()
