@@ -56,31 +56,59 @@ def _sq_l2_fixed(a: str, b: str, dim: int) -> F.Column:
 
 
 def _assign(vecs: DataFrame, cents: DataFrame,
-            dim: int | None = None) -> DataFrame:
+            dim: int | None = None,
+            n_clusters: int | None = None) -> DataFrame:
     """(vec_id, v, cluster, dist): nearest centroid per vector — broadcast
     cross join (k rows per vector), rounded-distance argmin, cluster-index
     tiebreak.
 
-    The argmin is a `min(struct(dist, cluster, v))` aggregate, not a
-    row_number window: per vec_id all k candidate rows differ in
-    `cluster`, so the struct's (dist, cluster) prefix is a total order
-    and its min IS the rounded-distance argmin with the cluster
-    tiebreak. Unlike the window (which shuffles all corpus×k candidate
-    rows), the aggregate collapses the k candidates map-side and
-    shuffles one row per vector."""
-    best = F.min(F.struct("dist", "cluster", "v")).alias("_b")
+    The argmin ENCODES (dist, cluster) into one LONG —
+    ``round(dist·10^DIST_ROUND)·k + cluster`` — and takes ``min(long)``:
+    `dist` is already rounded to DIST_ROUND dp so the scaled value is an
+    exact integer, `cluster < k` keeps the encoding lexicographic, and a
+    long has a MUTABLE UnsafeRow buffer, so the aggregate runs as a
+    map-side-combining HashAggregate that collapses the n·k candidate
+    stream per task without materializing it. The previous
+    ``min(struct(dist, cluster, v))`` had a struct buffer — UnsafeRow
+    cannot mutate those, so the plan fell back to SortAggregate, which
+    SORTS the n·k stream (12.3e9 rows × the 64-dim vector payload at the
+    2M-vector organic sf100 scale) with spill: that sort's files, not
+    any shuffle, ENOSPC'd the production-k SemDeDup leg. The vector
+    rides back in via one id-keyed join instead of through the
+    aggregate. Decode is exact: the scaled dist is integral, `div`/`%`
+    are integer ops, and ``scaled/10^dp`` re-produces round()'s double
+    bit-for-bit (both are the correctly-rounded double of the same
+    decimal). Falls back to the struct-min when k is unknown."""
     sq = _sq_l2_fixed("v", "c", dim) if dim else _sq_l2("v", "c")
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("dist", F.round(sq, DIST_ROUND))
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.round(sq, DIST_ROUND)
+    )
+    if not n_clusters:
+        best = F.min(F.struct("dist", "cluster", "v")).alias("_b")
+        return (
+            scored.groupBy("vec_id")
+            .agg(best)
+            .select(
+                "vec_id", F.col("_b.v").alias("v"),
+                F.col("_b.cluster").alias("cluster"),
+                F.col("_b.dist").alias("dist"),
+            )
+        )
+    scale = 10 ** DIST_ROUND
+    mult = int(n_clusters)
+    key = (F.round(F.col("dist") * scale).cast("long") * mult
+           + F.col("cluster").cast("long"))
+    ids = (
+        scored.select("vec_id", key.alias("_k"))
         .groupBy("vec_id")
-        .agg(best)
+        .agg(F.min("_k").alias("_k"))
         .select(
-            "vec_id", F.col("_b.v").alias("v"),
-            F.col("_b.cluster").alias("cluster"),
-            F.col("_b.dist").alias("dist"),
+            "vec_id",
+            (F.col("_k") % mult).cast("int").alias("cluster"),
+            (F.expr(f"_k div {mult}").cast("double") / scale).alias("dist"),
         )
     )
+    return ids.join(vecs, "vec_id").select("vec_id", "v", "cluster", "dist")
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -122,10 +150,10 @@ def kmeans_assign(
     cents = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
         "cluster", F.col("v").alias("c")
     )
-    assigned = _assign(vecs, cents, dim)
+    assigned = _assign(vecs, cents, dim, n_clusters=k)
     for _ in range(n_assign - 1):
         cents = _update(assigned)
-        assigned = _assign(vecs, cents, dim)
+        assigned = _assign(vecs, cents, dim, n_clusters=k)
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )
