@@ -86,14 +86,16 @@ def run_single(name: str, want_oracle: bool) -> int:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName(f"sweep-organic-{name}")
-        # Fixed partition SIZE, not COUNT (same rationale as
-        # sweep_organic_sf100.py): enough initial partitions that AQE's
-        # 64 MB advisory target — not the initial count — decides the
-        # effective parallelism at BOTH legs, so a ratio prices the
-        # plan rather than this box's spill behavior at the bigger leg.
-        .config("spark.sql.shuffle.partitions", "512")
+        # 64 partitions ≈ the 64 MB advisory size at this harness's
+        # ≤1.5 GB corpora — already "fixed partition size". A uniform-512
+        # probe (round 9) made the sf100-organic heavy legs honest but
+        # REGRESSED this harness 2-9x on iterative/window plans
+        # (per-round localCheckpoints write 512 blocks; AQE size-based
+        # coalescing starves compute-dense pair-scoring stages whose
+        # bytes are small), so only sweep_organic_sf100 — whose big leg
+        # actually spills at 64 — runs 512.
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "64g")
         .getOrCreate()
