@@ -206,3 +206,83 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 5)
         .alias("intercept"),
     )
+
+
+JACCARD_ROUND = 6
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Pairwise source-level content overlap: exact Jaccard between every
+    two sources' DISTINCT n-gram shingle sets — the cross-source
+    companion to source_divergence (that one asks "has this source
+    drifted from the mixture?"; this one asks "are two feeds actually
+    the same crawl?" — the signal behind merging mirrored dumps before
+    doc-level dedup ever runs).
+
+    Shape (never all-pairs on documents): one explode to DISTINCT
+    (source, shingle) rows, then per SHINGLE the sorted source list via
+    one hash aggregate — per-key fan-out is bounded by the SOURCE count,
+    not the corpus — and pair counts from exploding each list's
+    O(|sources|²) pairs. Set sizes come from the same distinct frame.
+    The output is |sources|² rows: report-sized, broadcast-joinable.
+    Jaccard = |∩| / (|a| + |b| − |∩|), an integer ratio (bit-exact
+    across engines), rounded for presentation only.
+    """
+    from ..functions.hashing import word_shingles
+
+    sh = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("src").agg(F.count("*").alias("n"))
+    srcs_per_shingle = sh.groupBy("s").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
+    )
+    pairs = srcs_per_shingle.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2,
+                            F.greatest(
+                                F.size("srcs") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_common")
+    )
+    grid = (
+        sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        grid.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b", "n_a", "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("n_a") + F.col("n_b")
+                   - F.coalesce("n_common", F.lit(0))),
+                JACCARD_ROUND,
+            ).alias("jaccard"),
+        )
+    )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import normalized_tokens
+
 
 def rate_to_hex_threshold(rate: float) -> str:
     """Fraction in [0,1] → 8-char lowercase hex threshold such that
@@ -224,3 +226,118 @@ def deterministic_shuffle(
     return global_row_number(
         keyed, ["shuffle_key", id_col], out_col="pos", num_ranges=num_ranges
     )
+
+# --- DSIR-shaped importance resampling -------------------------------------
+
+DSIR_BUCKETS = 128
+DSIR_LR_SCALE = 10**8     # per-bucket log-ratio travels as an INTEGER
+                          # (round(lr * 1e8) as long): per-doc sums of
+                          # longs are summation-order independent, so the
+                          # cross-engine value can never straddle the
+                          # final rounding boundary (a plain double sum
+                          # of ~50 rounded doubles did, at sf0.01)
+DSIR_LOGW_ROUND = 8       # MUST equal log10(DSIR_LR_SCALE): the per-doc
+                          # sum is an exact multiple of 1e-8, so rounding
+                          # at 8 dp just recovers that decimal exactly in
+                          # both engines — any COARSER rounding can land
+                          # exactly on a half boundary (sum ≡ 500 mod
+                          # 1000 did at sf0.01), where Spark's BigDecimal
+                          # HALF_UP and DuckDB's binary round() disagree
+DSIR_KEY_ROUND = 6        # Gumbel selection key
+
+
+def _feature_bucket(term: Column, n_buckets: int, salt: str) -> Column:
+    """Hashed n-gram feature bucket: first 4 hex chars of a salted md5 →
+    int in [0, n_buckets). Portable: DuckDB mirrors it as
+    CAST(concat('0x', substr(md5(...), 1, 4)) AS INT) % n_buckets."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), term)), 1, 4),
+            16, 10,
+        ).cast("int") % n_buckets
+    )
+
+
+def dsir_importance_select(
+    docs: DataFrame,
+    target_pred: Column,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR-shaped; Xie et al.,
+    NeurIPS 2023): select raw documents that look like a TARGET domain by
+    (1) estimating importance weights over hashed unigram features and
+    (2) Gumbel-top-n resampling with those weights.
+
+    Stages, all deterministic and SQL-mirrorable:
+      * features: token → md5 bucket in [0, n_buckets) — the paper's
+        hashed n-gram generative model with unigram features;
+      * bucket log-ratio: ln((ct+1)/(T+B)) − ln((cr+1)/(R+B)) per bucket
+        (Laplace-smoothed target vs raw counts — integer ratios into ln,
+        the surprisal parity contract), scaled to an integer once per
+        bucket (DSIR_LR_SCALE) so downstream sums are exact;
+      * per-doc log importance weight: integer sum of its tokens' bucket
+        log-ratios (summation-order independent), divided back once and
+        rounded;
+      * resample: Gumbel-max — key = log_w + (−ln(−ln(u))) with u drawn
+        from the id hash exactly like weighted_sample_take's u, so
+        inclusion ∝ importance weight without ever exponentiating the
+        log-weight. Top-n via orderBy+limit (TakeOrderedAndProject —
+        per-partition heaps, no global sort).
+
+    Scale shape: two explode→hash-agg passes whose outputs are
+    n_buckets-sized (map-side combine does almost all the work), one
+    broadcast of the n_buckets-row weight table back onto the exploded
+    token stream, ONE shuffle on doc_id for the per-doc sum, and a top-n.
+    The corpus text is never shuffled; at 100 TB the only wide exchange
+    is doc_id-keyed partial sums.
+
+    `target_pred` is a boolean Column over `docs` rows marking the target
+    domain sample (e.g. lang = 'en', or a trusted-source flag).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("_is_target"),
+        F.explode(normalized_tokens(text_col)).alias("term"),
+    ).withColumn("b", _feature_bucket(F.col("term"), n_buckets, f"{salt}f"))
+
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (F.log((F.col("ct") + 1)
+                   / (F.col("t_total") + F.lit(float(n_buckets))))
+             - F.log((F.col("cr") + 1)
+                     / (F.col("r_total") + F.lit(float(n_buckets)))))
+            * DSIR_LR_SCALE
+        ).cast("long").alias("lr8"),
+    )
+    log_w = (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.round(
+            F.sum("lr8") / F.lit(float(DSIR_LR_SCALE)), DSIR_LOGW_ROUND,
+        ).alias("log_w"))
+    )
+    # Gumbel-max resampling key; u strictly inside (0,1) per the
+    # weighted_sample_take denominator note.
+    u = (
+        F.conv(_sample_key("doc_id", f"{salt}g"), 16, 10).cast("long") + 1
+    ) / F.lit(4294967297.0)
+    keyed = log_w.withColumn(
+        "sel_key", F.round(F.col("log_w") - F.log(-F.log(u)), DSIR_KEY_ROUND)
+    )
+    top = keyed.orderBy(
+        F.col("sel_key").desc(), F.col("doc_id").asc()
+    ).limit(n)
+    rank_w = Window.orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))

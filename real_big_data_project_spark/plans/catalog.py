@@ -59,11 +59,15 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-9 prefix: q_datapipe_e2e_v2 first (the only
-# never-gated query), then the 30 r04-vintage rows, then r05-vintage fill.
+# trusted to rotate).  Round-9 prefix: the two queries ADDED this round
+# (pinned — a prior green row cannot exist for new output), then
+# q_datapipe_e2e_v2 (never gated), then the 30 r04-vintage rows, then
+# r05-vintage fill.
 _ROTATION_VINTAGE = 8
-_PINNED: tuple[str, ...] = ()
+_PINNED: tuple[str, ...] = ('q_importance_resample', 'q_source_overlap')
 _RISKIEST: tuple[str, ...] = (
+    "q_importance_resample",  # never gated
+    "q_source_overlap",  # never gated
     "q_datapipe_e2e_v2",  # never gated
     "q_having_large_orders",  # last green r04
     "q_heavy_hitters",  # last green r04
@@ -112,8 +116,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_order_count_distribution",  # last green r05
     "q_pandas_udf_norm",  # last green r05
     "q_profit_by_nation_year",  # last green r05
-    "q_promo_revenue",  # last green r05
-    "q_qualified_suppliers",  # last green r05
 )
 
 

@@ -3422,3 +3422,123 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         d=docs,
     )
+
+
+# --- round 9: DSIR importance resampling + cross-source overlap ------------
+
+DSIR_N = 200
+
+
+@register(
+    "q_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    bt AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('dsirf:' || term), 1, 4)) AS INT)
+               % 128 AS b
+      FROM toks
+    ),
+    cnt AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM bt JOIN documents USING (doc_id)
+      GROUP BY b
+    ),
+    tot AS (SELECT sum(cr) AS rt, sum(ct) AS tt FROM cnt),
+    wt AS (
+      SELECT b, CAST(round((ln((ct + 1) / (tt + 128.0))
+                      - ln((cr + 1) / (rt + 128.0))) * 100000000)
+                 AS BIGINT) AS lr8
+      FROM cnt CROSS JOIN tot
+    ),
+    logw AS (
+      SELECT doc_id, round(sum(lr8) / 100000000.0, 8) AS log_w
+      FROM bt JOIN wt USING (b) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, log_w,
+             round(log_w - ln(-ln((CAST(concat('0x',
+                     substr(md5('dsirg:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0)), 6) AS sel_key
+      FROM logw
+    )
+    SELECT doc_id, log_w, sel_key, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {DSIR_N}
+    """,
+    description="DSIR-shaped importance resampling (Xie et al., NeurIPS "
+                "2023): importance weights over hashed unigram features — "
+                "per-bucket Laplace-smoothed log p_target/p_raw (target = "
+                "the lang='en' slice standing in for the trusted domain), "
+                "integer ratios into ln per the surprisal parity "
+                "contract — then Gumbel-top-n resampling with the id-hash "
+                "draw, so inclusion ∝ importance weight without "
+                "exponentiating. Both feature passes reduce to the "
+                "128-bucket table (map-side combine); the weight table "
+                "broadcasts back onto the token stream; the only wide "
+                "shuffle is the per-doc sum; top-n is "
+                "TakeOrderedAndProject. datapipe/selection.py::"
+                "dsir_importance_select.",
+    tags=("datapipe",),
+)
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.selection import dsir_importance_select
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return dsir_importance_select(
+        docs, target_pred=F.col("lang") == "en", n=DSIR_N
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source AS src, s
+      FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+        FROM (SELECT source, {SQL_TOKS} AS toks FROM documents)
+      )
+    ),
+    sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(i.n_common, 0)
+                 / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 6) AS jaccard
+    FROM (
+      SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b
+      FROM sizes a JOIN sizes b ON a.src < b.src
+    ) g LEFT JOIN inter i ON g.src_a = i.src_a AND g.src_b = i.src_b
+    """,
+    description="Pairwise source-level content overlap: exact Jaccard "
+                "between every two sources' distinct 3-gram shingle sets "
+                "— the cross-source companion to q_source_divergence "
+                "(drift asks 'has a source left the mixture?'; this asks "
+                "'are two feeds the same crawl?' — the merge-mirrored-"
+                "dumps signal that runs BEFORE doc-level dedup). Never "
+                "all-pairs on documents: per-shingle source lists from "
+                "one hash aggregate (fan-out bounded by |sources|, not "
+                "corpus size), pair counts from exploding those "
+                "report-sized lists; output is |sources|² rows. Integer-"
+                "ratio Jaccard → bit-exact oracle. "
+                "datapipe/ranking.py::source_overlap.",
+    tags=("datapipe",),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import source_overlap
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return source_overlap(docs)
