@@ -1,0 +1,185 @@
+"""Subword tokenizer learning over the corpus: BPE merge training,
+merge application (encoding), and vocabulary/OOV coverage.
+
+The reference engine ships no tokenizer, but a training-data pipeline at
+100 TB needs one: the merge table decides sequence lengths, packing
+efficiency, and the token counts every budget/mixture operator upstream
+consumes. BPE (Sennrich et al., ACL 2016) is the canonical algorithm and
+is embarrassingly distributable with the classic trick: train on the
+WORD HISTOGRAM, not the corpus. The corpus is touched exactly once (one
+map-side-combined hash aggregate to (word, freq)); every merge round then
+operates on the vocab-sized frame, so round cost is O(|vocab|) regardless
+of corpus size, and the only thing the driver ever holds is one argmax
+row per round — the same metadata-sized-collect contract as k-means
+centroids (datapipe/clustering.py).
+
+Symbol sequences travel as a DELIMITED STRING, not an array: a word's
+symbols are wrapped ``|s1||s2||...||sn|`` (symbols are [a-z]+ or '</w>',
+so '|' can never occur inside one). A merge of pair (l, r) is then
+``replace(wstr, '|l||r|', '|lr|')`` — a single codegen'd string op whose
+left-to-right non-overlapping scan IS greedy BPE merge semantics
+(verified identical in Spark and DuckDB, including the run case
+'aaaa' + (a,a) → [aa, aa]: each symbol carries its own delimiters, so
+consecutive matches never share boundary characters). This avoids the
+interpreted-HOF fold the sf100 decade flagged as a scale defect
+(PERF_NOTES round 9): the merge step stays inside WholeStageCodegen and
+the per-round shuffle is only the (l, r, sum(freq)) pair aggregate.
+
+Determinism contract (oracle parity): words are regexp_extract_all
+(lower(text), '[a-z]+') in both engines; the winning pair each round is
+argmax by (count DESC, left ASC, right ASC) — integer counts, total
+tiebreak, so the whole merge table is bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# One symbol per word-final position so merges can't cross word
+# boundaries; merged units like 'e</w>' mark word-final subwords.
+END_MARK = "</w>"
+
+# Spark-side expression fragments (DuckDB twins live in the oracle
+# generator, plans/queries_tokenizer.py::_bpe_train_ctes).
+_WORDS_EXPR = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_WSTR_EXPR = (
+    "concat('|', array_join(transform(sequence(1, length(word)), "
+    "i -> substring(word, i, 1)), '||'), '||" + END_MARK + "|')"
+)
+_SYMS_EXPR = "split(substring(wstr, 2, length(wstr)-2), '\\\\|\\\\|')"
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField("rnd", T.IntegerType(), False),
+    T.StructField("left_sym", T.StringType(), False),
+    T.StructField("right_sym", T.StringType(), False),
+    T.StructField("merged", T.StringType(), False),
+    T.StructField("pair_count", T.LongType(), False),
+])
+
+
+def word_histogram(docs: DataFrame, *extra_keys: str) -> DataFrame:
+    """(word, freq) over ``text`` — the corpus's only full scan. One
+    hash aggregate with map-side combine; output is vocab-sized."""
+    keys = [*extra_keys, "word"]
+    return (
+        docs.select(*extra_keys,
+                    F.explode(F.expr(_WORDS_EXPR)).alias("word"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _with_wstr(words: DataFrame) -> DataFrame:
+    return words.withColumn("wstr", F.expr(_WSTR_EXPR))
+
+
+def _top_pair(words: DataFrame) -> Row | None:
+    """Argmax adjacent symbol pair by summed word frequency. The pair
+    aggregate is the round's only shuffle; the driver receives 1 row."""
+    rows = (
+        words.selectExpr("freq", f"{_SYMS_EXPR} AS syms")
+        .selectExpr(
+            "freq",
+            "slice(syms, 1, size(syms)-1) AS la",
+            "slice(syms, 2, size(syms)-1) AS lb",
+        )
+        .selectExpr("freq", "explode(arrays_zip(la, lb)) AS p")
+        .groupBy(F.col("p.la").alias("l"), F.col("p.lb").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    pat = f"|{left}||{right}|"
+    rep = f"|{left}{right}|"
+    return words.withColumn("wstr", F.replace("wstr", F.lit(pat), F.lit(rep)))
+
+
+def bpe_learn(docs: DataFrame, rounds: int) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``rounds`` BPE merges; returns the driver-held merge table
+    [(rnd, left, right, merged, pair_count)] — R rows of metadata, the
+    tokenizer artifact a trainer would persist."""
+    base = _with_wstr(word_histogram(docs)).select("wstr", "freq")
+    # Re-scanned once per round: pin the vocab-sized frame, not the corpus.
+    base = base.persist()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        words = base
+        for rnd in range(1, rounds + 1):
+            top = _top_pair(words)
+            if top is None:
+                break
+            merges.append((rnd, top.l, top.r, top.l + top.r, top.cnt))
+            # Accumulate codegen replace()s on the pinned base — plan
+            # depth grows by one string op per round, no new caches.
+            words = _apply_merge(words, top.l, top.r)
+        return merges
+    finally:
+        base.unpersist()
+
+
+def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """BPE merge-table training as a DataFrame result."""
+    spark: SparkSession = docs.sparkSession
+    return spark.createDataFrame(bpe_learn(docs, rounds), MERGE_SCHEMA)
+
+
+def bpe_encode_stats(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """Apply the learned merge table to every (source, word) and report
+    per-source subword fertility: words, subword tokens, tokens/word.
+
+    Encoding is MAP-ONLY once the merges are learned: the R merge rules
+    are baked into the plan as a chain of R codegen replace()s over the
+    per-source word histogram (no shuffle beyond the histogram's own
+    aggregate, no per-row Python). tokens_per_word is the number a
+    packing/budget planner needs to convert word counts to sequence
+    lengths."""
+    merges = bpe_learn(docs, rounds)
+    per_src = _with_wstr(word_histogram(docs, "source"))
+    for _, left, right, _, _ in merges:
+        per_src = _apply_merge(per_src, left, right)
+    return (
+        per_src.selectExpr("source", "freq", f"size({_SYMS_EXPR}) AS n_syms")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_syms")).alias("n_subwords"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def vocab_coverage(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Per-source OOV rate under the global top-k word vocabulary
+    (freq DESC, word ASC — total order, so the vocab is deterministic).
+
+    The vocab is report-sized → broadcast; the per-source token counts
+    come from one hash aggregate over the exploded words. This is the
+    go/no-go number for shipping a fixed vocab to a new source: a source
+    whose oov_rate spikes is out-of-domain for the tokenizer."""
+    words = word_histogram(docs).orderBy(
+        F.desc("freq"), F.asc("word")).limit(k).select("word")
+    per_src = word_histogram(docs, "source")
+    joined = per_src.join(F.broadcast(words.withColumn("in_v", F.lit(1))),
+                          "word", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("freq"))
+                  .otherwise(F.lit(0))).alias("n_oov"),
+        )
+        .withColumn("oov_rate",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+        .orderBy("source")
+    )

@@ -59,13 +59,16 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-9 prefix: the two queries ADDED this round
-# (pinned — a prior green row cannot exist for new output), then
-# q_datapipe_e2e_v2 (never gated), then the 30 r04-vintage rows, then
-# r05-vintage fill.
+# trusted to rotate).  Round-9 prefix: the five queries ADDED this round
+# (pinned — a prior green row cannot exist for new output: the tokenizer
+# family + DSIR + source overlap), then q_datapipe_e2e_v2 (never gated),
+# then the 30 r04-vintage rows, then r05-vintage fill.
 _ROTATION_VINTAGE = 8
-_PINNED: tuple[str, ...] = ('q_importance_resample', 'q_source_overlap')
+_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_vocab_coverage', 'q_importance_resample', 'q_source_overlap')
 _RISKIEST: tuple[str, ...] = (
+    "q_bpe_train",  # never gated
+    "q_bpe_encode",  # never gated
+    "q_vocab_coverage",  # never gated
     "q_importance_resample",  # never gated
     "q_source_overlap",  # never gated
     "q_datapipe_e2e_v2",  # never gated
@@ -113,9 +116,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_multimodal_features",  # last green r05
     "q_multimodal_frames",  # last green r05
     "q_multimodal_meta",  # last green r05
-    "q_order_count_distribution",  # last green r05
-    "q_pandas_udf_norm",  # last green r05
-    "q_profit_by_nation_year",  # last green r05
 )
 
 
@@ -162,4 +162,5 @@ def _load_all() -> None:
         from . import queries_datapipe  # noqa: F401
         from . import queries_streaming  # noqa: F401
         from . import queries_subquery  # noqa: F401
+        from . import queries_tokenizer  # noqa: F401
         _loaded = True

@@ -815,3 +815,48 @@ def test_organic_corpus_candidates_are_planted_pairs_only(spark):
     assert random_pairs == 0  # zero vocabulary-artifact collisions
     # every candidate is a plant; short near-copies may miss a band
     assert 0.98 * n_planted <= n_cand <= n_planted
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer learning (datapipe/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+def test_bpe_greedy_run_semantics(spark):
+    """'aaaa' must merge greedily left-to-right: [a,a,a,a] -> [aa,aa],
+    never [aa,a,a] — the wrapped-string replace must not share boundary
+    chars between consecutive matches. Full merge trajectory is pinned."""
+    from real_big_data_project_spark.datapipe.tokenizer import bpe_learn
+
+    docs = spark.createDataFrame([("aaaa aaaa",)] * 7, ["text"])
+    merges = bpe_learn(docs, rounds=8)
+    # r1: (a,a) count 3*14=42 beats (a,</w>) 14 -> 'aa'
+    # r2: [aa,aa,</w>]: (aa,aa)=14 ties (aa,</w>)=14 -> tiebreak r asc:
+    #     '</w>' < 'aa' -> 'aa</w>'  (proves [aa,aa,</w>], not [aa,a,...])
+    # r3: [aa,aa</w>] -> 'aaaa</w>'; r4: single symbol left -> loop ends
+    assert [(m[1], m[2], m[4]) for m in merges] == [
+        ("a", "a", 42),
+        ("aa", "</w>", 14),
+        ("aa", "aa</w>", 14),
+    ]
+
+
+def test_bpe_encode_fully_merged_word_reaches_fertility_one(spark):
+    from real_big_data_project_spark.datapipe.tokenizer import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [("ab ab ab", "s1"), ("ab", "s2")], ["text", "source"])
+    out = bpe_encode_stats(docs, rounds=8).collect()
+    # 'ab' merges to one symbol 'ab</w>' within 2 rounds -> 1 token/word
+    assert [(r.source, r.n_words, r.n_subwords, r.tokens_per_word)
+            for r in out] == [("s1", 3, 3, 1.0), ("s2", 1, 1, 1.0)]
+
+
+def test_vocab_coverage_full_vocab_has_zero_oov(spark, sf_dir):
+    from real_big_data_project_spark.datapipe.tokenizer import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = vocab_coverage(docs, k=100_000).collect()
+    assert all(r.n_oov == 0 and r.oov_rate == 0.0 for r in full)
+    tight = vocab_coverage(docs, k=1).collect()
+    assert all(0.0 < r.oov_rate <= 1.0 for r in tight)
+    assert all(r.n_oov <= r.n_tokens for r in tight)
