@@ -23,7 +23,7 @@ term filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import normalized_tokens
@@ -285,4 +285,58 @@ def source_overlap(
                 JACCARD_ROUND,
             ).alias("jaccard"),
         )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020): split
+    each language's documents into head/middle/tail terciles of the
+    LM score (here the corpus-unigram mean surprisal — lower = more
+    fluent). CCNet trains on `head`, samples `middle`, drops `tail`.
+
+    Deliberately NOT a per-lang ntile window: ranking a language's whole
+    corpus in one window partition is a single-task sort at 100 TB.
+    Instead the tercile cutoffs come from the per-(lang, score) COUNT
+    HISTOGRAM — scores are rounded to SURPRISAL_ROUND dp so the
+    histogram is value-bounded, the cumulative window runs over that
+    report-sized frame, and the bucket assignment is a broadcast-join +
+    map-only CASE over the corpus. Integer cumulative-count comparisons
+    (3·cum ≥ n, 3·cum ≥ 2n) keep the cutoff rule bit-deterministic; docs
+    with equal rounded scores always share a bucket, so bucket sizes are
+    n/3 up to score-tie granularity.
+    """
+    scored = (
+        unigram_surprisal(docs, id_col=id_col)
+        .join(docs.select(F.col(id_col).alias("doc_id"), lang_col), "doc_id")
+        .select("doc_id", F.col(lang_col).alias("lang"),
+                F.col("mean_surprisal").alias("score"))
+    )
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("lang").orderBy("score")),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    cuts = (
+        cum.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("score")))
+            .alias("c1"),
+            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("score")))
+            .alias("c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("c1"), F.lit("head"))
+        .when(F.col("score") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "score", bucket.alias("bucket"))
     )

@@ -183,3 +183,24 @@ def vocab_coverage(docs: DataFrame, k: int = 200) -> DataFrame:
                     F.round(F.col("n_oov") / F.col("n_tokens"), 6))
         .orderBy("source")
     )
+
+
+def bpe_vocab(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """The subword vocabulary after ``rounds`` merges: every surviving
+    symbol with its corpus occurrence count — the second half of the
+    tokenizer artifact (merge table + vocab) a trainer persists.
+
+    Same shape as encoding: merges bake into the plan as codegen
+    replace()s over the global word histogram; the explode fans out to
+    symbols-per-word (bounded by word length), and the final aggregate
+    is vocab-sized."""
+    merges = bpe_learn(docs, rounds)
+    words = _with_wstr(word_histogram(docs))
+    for _, left, right, _, _ in merges:
+        words = _apply_merge(words, left, right)
+    return (
+        words.selectExpr("freq", f"explode({_SYMS_EXPR}) AS sym")
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sym"))
+    )

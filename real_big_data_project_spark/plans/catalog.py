@@ -64,11 +64,13 @@ def register(name: str, oracle: str | None, description: str = "",
 # family + DSIR + source overlap), then q_datapipe_e2e_v2 (never gated),
 # then the 30 r04-vintage rows, then r05-vintage fill.
 _ROTATION_VINTAGE = 8
-_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_vocab_coverage', 'q_importance_resample', 'q_source_overlap')
+_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_bpe_vocab', 'q_vocab_coverage', 'q_perplexity_buckets', 'q_importance_resample', 'q_source_overlap')
 _RISKIEST: tuple[str, ...] = (
     "q_bpe_train",  # never gated
     "q_bpe_encode",  # never gated
+    "q_bpe_vocab",  # never gated
     "q_vocab_coverage",  # never gated
+    "q_perplexity_buckets",  # never gated
     "q_importance_resample",  # never gated
     "q_source_overlap",  # never gated
     "q_datapipe_e2e_v2",  # never gated
@@ -114,8 +116,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_market_share",  # last green r05
     "q_multimodal_decode",  # last green r05
     "q_multimodal_features",  # last green r05
-    "q_multimodal_frames",  # last green r05
-    "q_multimodal_meta",  # last green r05
 )
 
 

@@ -3542,3 +3542,63 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = R.load_table(spark, sf_dir, "documents")
     return source_overlap(docs)
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS term
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    ),
+    freq AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+    total AS (SELECT sum(n_t) AS total FROM freq),
+    scored AS (
+      SELECT doc_id, -ln(n_t / total.total) AS surprisal
+      FROM toks JOIN freq USING (term) CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id, round(avg(surprisal), 5) AS score
+      FROM scored GROUP BY doc_id
+    ),
+    sl AS (
+      SELECT p.doc_id, d.lang, p.score
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    hist AS (SELECT lang, score, count(*) AS c FROM sl GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS n FROM hist GROUP BY 1),
+    cum AS (
+      SELECT lang, score,
+             sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum
+      FROM hist
+    ),
+    cuts AS (
+      SELECT c.lang,
+             min(CASE WHEN cum * 3 >= t.n THEN score END) AS c1,
+             min(CASE WHEN cum * 3 >= 2 * t.n THEN score END) AS c2
+      FROM cum c JOIN tot t USING (lang)
+      GROUP BY c.lang
+    )
+    SELECT doc_id, lang, score,
+           CASE WHEN score <= c1 THEN 'head'
+                WHEN score <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN cuts USING (lang)
+    """,
+    description="CCNet-style per-language quality terciles (Wenzek et "
+                "al., LREC 2020): head/middle/tail split of the unigram "
+                "mean-surprisal score — train on head, sample middle, "
+                "drop tail. Deliberately NOT a per-lang ntile window "
+                "(that is a single-task sort at 100 TB): tercile cutoffs "
+                "come from the value-bounded (lang, rounded-score) COUNT "
+                "histogram, the cumulative window runs over that report-"
+                "sized frame, and assignment is a broadcast-join + map-"
+                "only CASE. Integer 3·cum ≥ n cutoff rule → bit-"
+                "deterministic. datapipe/ranking.py::perplexity_buckets.",
+    tags=("datapipe",),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.ranking import perplexity_buckets
+
+    docs = R.load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)

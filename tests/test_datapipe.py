@@ -860,3 +860,49 @@ def test_vocab_coverage_full_vocab_has_zero_oov(spark, sf_dir):
     tight = vocab_coverage(docs, k=1).collect()
     assert all(0.0 < r.oov_rate <= 1.0 for r in tight)
     assert all(r.n_oov <= r.n_tokens for r in tight)
+
+
+def test_perplexity_buckets_are_ordered_and_complete(spark, sf_dir):
+    """Within each lang: every doc gets a bucket, score ordering respects
+    head <= middle <= tail, and equal scores never split buckets."""
+    from real_big_data_project_spark.datapipe.ranking import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = perplexity_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.score, r.bucket))
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        ranks = [order[b] for _, b in pairs]
+        assert ranks == sorted(ranks), f"{lang}: buckets not score-monotone"
+        seen = {}
+        for s, b in pairs:  # a tied score maps to exactly one bucket
+            assert seen.setdefault(s, b) == b
+        # terciles: each bucket holds >= 1 doc when the lang has >= 3 docs
+        if len(pairs) >= 3:
+            assert {b for _, b in pairs} == {"head", "middle", "tail"}
+
+
+def test_bpe_vocab_mass_is_conserved(spark, sf_dir):
+    """Total symbol occurrences == chars+endmarks of the corpus words
+    regardless of how many merges fired (merging never loses mass), and
+    every merged symbol's text is recoverable from the merge table."""
+    from real_big_data_project_spark.datapipe.tokenizer import (
+        bpe_learn, bpe_vocab, word_histogram)
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_vocab(docs, rounds=8).collect()
+    words = word_histogram(docs).collect()
+    n_words = sum(r.freq for r in words)
+    n_chars = sum(len(r.word) * r.freq for r in words)
+    sym_mass = sum(
+        r.n_occurrences * len(r.sym.replace("</w>", ".")) for r in vocab)
+    # char+endmark mass: each '</w>' counts 1, each char 1
+    assert sym_mass == n_chars + n_words
+    merged = {m[3] for m in bpe_learn(docs, rounds=8)}
+    base = set("abcdefghijklmnopqrstuvwxyz") | {"</w>"}
+    for r in vocab:
+        assert r.sym in base or r.sym in merged
