@@ -11,7 +11,7 @@ checkable results. The same construction is mirrored in SQL for DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -231,3 +231,46 @@ def token_budget_select(
         out_col="cum_tokens",
     )
     return cum.filter(F.col("cum_tokens") - F.col(tokens_col) < budget)
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus report card — the daily health sheet a corpus
+    operator reads before anything trains: volume (docs, tokens,
+    tokens/doc), exact-duplication rate within the source, and language
+    concentration (the modal language and its share).
+
+    Every metric is one hash aggregate over the corpus; the modal-lang
+    argmax runs on the report-sized (source, lang) count frame via a
+    window (|sources|·|langs| rows — sorting THERE is free, unlike a
+    corpus-sized argmax). Integer-ratio arithmetic throughout → bit-
+    exact oracle.
+    """
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(normalized_tokens("text"))).alias("n_tokens"),
+        F.countDistinct(F.md5(F.concat_ws(" ", normalized_tokens("text"))))
+        .alias("n_distinct_texts"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lc"))
+    w = Window.partitionBy("source").orderBy(F.desc("lc"), F.asc("lang"))
+    modal = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("modal_lang"),
+                F.col("lc").alias("modal_n"))
+    )
+    return (
+        base.join(modal, "source")
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6)
+            .alias("tokens_per_doc"),
+            F.round((F.col("n_docs") - F.col("n_distinct_texts"))
+                    / F.col("n_docs"), 6).alias("exact_dup_rate"),
+            "modal_lang",
+            F.round(F.col("modal_n") / F.col("n_docs"), 6)
+            .alias("modal_lang_share"),
+        )
+        .orderBy("source")
+    )

@@ -99,3 +99,59 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", "pr")
+
+
+# encoded-argmax base: labels are node ids < 2^32, counts < 2^31, so
+# (cnt, prefer-smaller-label) packs into one BIGINT and the per-node
+# argmax stays a HashAggregate (struct-min/max buffers force a
+# SortAggregate — the k-means argmin lesson, PERF_NOTES round 9).
+_LPA_BASE = 4294967296  # 2^32
+_LPA_MASK = 4294967295  # 2^32 - 1
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    symmetric edge list; returns (node, label) after ``iters`` rounds.
+    The community-detection pass a corpus pipeline runs over a doc/host
+    similarity graph to find topical groups (where components.py asks
+    "which docs are transitively NEAR-DUPLICATES", LPA asks "which nodes
+    CLUSTER" — majority structure, not mere reachability).
+
+    Round semantics (deterministic, oracle-checkable): every node starts
+    labeled with its own id; each round, a node adopts the label most
+    frequent among its neighbors' previous-round labels, ties broken by
+    the SMALLEST label. Synchronous update — all nodes flip on the
+    previous round's state, so a round is exactly: one |E|-sized
+    broadcast join + two hash aggregates, and the label frame (node-
+    sized) re-broadcasts. No corpus-sized state on the driver.
+    """
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col(src).alias("node")).distinct()
+        .select("node", F.col("node").cast("long").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        counts = (
+            edges.join(F.broadcast(labels), F.col(dst) == F.col("node"))
+            .groupBy(F.col(src).alias("cnode"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(cnt) with min-label tiebreak as one encoded-long max
+        labels = (
+            counts.groupBy(F.col("cnode").alias("node"))
+            .agg(
+                (F.lit(_LPA_MASK) - (
+                    F.max(F.col("cnt") * F.lit(_LPA_BASE)
+                          + (F.lit(_LPA_MASK) - F.col("lbl")))
+                    % F.lit(_LPA_BASE)
+                )).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

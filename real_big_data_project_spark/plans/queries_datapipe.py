@@ -3602,3 +3602,117 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = R.load_table(spark, sf_dir, "documents")
     return perplexity_buckets(docs)
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation trace (generated CTE chain,
+    same convention as _pagerank_oracle, same bipartite trade graph).
+    The per-node argmax-with-min-label-tiebreak uses the identical
+    encoded-BIGINT max as the Spark side (graph.py::_LPA_BASE)."""
+    base, mask = 4294967296, 4294967295
+    parts = [
+        "pairs AS (SELECT DISTINCT o_custkey * 2 AS src,"
+        " l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst AS src, src AS dst FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl"
+        " FROM edges)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.src AS cnode, l.lbl, count(*) AS cnt"
+            f" FROM edges e JOIN l{t - 1} l ON l.node = e.dst"
+            f" GROUP BY e.src, l.lbl)"
+        )
+        parts.append(
+            f"l{t} AS (SELECT cnode AS node,"
+            f" CAST({mask} - (max(cnt * {base} + ({mask} - lbl)) % {base})"
+            f" AS BIGINT) AS lbl"
+            f" FROM c{t} GROUP BY cnode)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, lbl AS label FROM l{iters}"
+    )
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    description="Synchronous label propagation (Raghavan et al. 2007, "
+                "3 rounds) over the symmetrized customer↔supplier trade "
+                "graph — the community-detection counterpart to "
+                "q_dedup_components (majority structure, not mere "
+                "reachability; a corpus pipeline runs it over doc/host "
+                "similarity graphs for topical grouping). Per round: one "
+                "|E|-sized broadcast join + two hash aggregates; the "
+                "argmax-with-min-label tiebreak packs into one encoded-"
+                "BIGINT max so the per-node reduce HashAggregates (the "
+                "k-means argmin lesson — struct-max would SortAggregate). "
+                "Oracle = unrolled CTE trace with the identical integer "
+                "encoding. datapipe/graph.py::label_propagation.",
+    tags=("datapipe",),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datapipe.graph import label_propagation
+
+    orders = R.load_table(spark, sf_dir, "orders")
+    li = R.load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=3)
+
+
+@register(
+    "q_corpus_report",
+    oracle=f"""
+    WITH tk AS (SELECT source, {SQL_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT md5(array_to_string(toks, ' ')))
+                  AS BIGINT) AS n_distinct_texts
+      FROM tk GROUP BY source
+    ),
+    lc AS (SELECT source, lang, count(*) AS lc FROM documents GROUP BY 1, 2),
+    modal AS (
+      SELECT source, lang AS modal_lang, lc AS modal_n
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY lc DESC, lang ASC) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(n_docs AS DOUBLE), 6) AS tokens_per_doc,
+           round((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)
+             AS exact_dup_rate,
+           modal_lang,
+           round(modal_n / CAST(n_docs AS DOUBLE), 6) AS modal_lang_share
+    FROM base JOIN modal USING (source)
+    ORDER BY source
+    """,
+    description="Per-source corpus report card: volume (docs, tokens, "
+                "tokens/doc), exact-duplication rate (1 − distinct "
+                "normalized-text hashes / docs), and language "
+                "concentration (modal lang + share, count-desc lang-asc "
+                "tiebreak) — the daily health sheet read before anything "
+                "trains. One hash aggregate per metric family over the "
+                "corpus; the modal-lang argmax sorts only the report-"
+                "sized (source, lang) frame. Integer ratios → bit-exact. "
+                "datapipe/corpus.py::corpus_report.",
+    tags=("datapipe",),
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    return CP.corpus_report(docs)

@@ -906,3 +906,32 @@ def test_bpe_vocab_mass_is_conserved(spark, sf_dir):
     base = set("abcdefghijklmnopqrstuvwxyz") | {"</w>"}
     for r in vocab:
         assert r.sym in base or r.sym in merged
+
+
+def test_label_propagation_finds_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds every clique member carries its clique's minimum id."""
+    from real_big_data_project_spark.datapipe.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+
+def test_corpus_report_invariants(spark, sf_dir):
+    from real_big_data_project_spark.datapipe.corpus import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = corpus_report(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert 0.0 <= r.exact_dup_rate < 1.0
+        assert 0.0 < r.modal_lang_share <= 1.0
+        assert r.modal_lang in langs
+        assert r.n_tokens >= r.n_docs  # every doc has >= 1 token
