@@ -201,6 +201,32 @@ def cmd_corpus_build(spark: SparkSession, args: argparse.Namespace) -> dict:
             "docs": args.docs, "n_rows": len(rows), "rows": rows}
 
 
+def cmd_tokenizer_train(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Train the BPE tokenizer on a corpus and persist BOTH artifacts:
+    merges.parquet (rnd, left_sym, right_sym, merged, pair_count — apply
+    in rnd order) and vocab.parquet (sym, n_occurrences). These are the
+    files a training job ships to every tokenize worker; q_doc_tokens
+    shows the same merges applied to live documents."""
+    from .datapipe.tokenizer import bpe_artifacts
+
+    docs = spark.read.parquet(
+        os.path.join(args.docs, "documents.parquet")).select("text")
+    merges, vocab = bpe_artifacts(docs, rounds=args.rounds)
+    out = {"cmd": "tokenizer-train", "docs": args.docs,
+           "rounds": args.rounds}
+    if args.out:
+        merges.write.mode("overwrite").parquet(
+            os.path.join(args.out, "merges.parquet"))
+        vocab.write.mode("overwrite").parquet(
+            os.path.join(args.out, "vocab.parquet"))
+        out.update(out_dir=args.out,
+                   n_merges=merges.count(), vocab_size=vocab.count())
+        return out
+    out.update(merges=[r.asDict() for r in merges.collect()],
+               vocab_size=vocab.count())
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="real_big_data_project_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -260,6 +286,15 @@ def build_parser() -> argparse.ArgumentParser:
                     default="neardup")
     cb.add_argument("--limit", type=int, default=20)
 
+    tt = sub.add_parser("tokenizer-train",
+                        help="learn BPE merges + vocab over documents; "
+                             "write merges.parquet / vocab.parquet")
+    tt.add_argument("--docs", required=True,
+                    help="dir containing documents.parquet")
+    tt.add_argument("--out",
+                    help="artifact dir (omit to print the merge table)")
+    tt.add_argument("--rounds", type=int, default=8)
+
     ex = sub.add_parser("explain",
                         help="print a catalog query's physical plan")
     ex.add_argument("query")
@@ -278,7 +313,8 @@ def main(argv: list[str] | None = None) -> int:
     fn = {"ingest": cmd_ingest, "sql": cmd_sql, "bars": cmd_bars,
           "compact": cmd_compact, "delete-keys": cmd_delete_keys,
           "explain": cmd_explain, "query": cmd_query,
-          "corpus-build": cmd_corpus_build}[args.cmd]
+          "corpus-build": cmd_corpus_build,
+          "tokenizer-train": cmd_tokenizer_train}[args.cmd]
     # default=str: catalog queries legitimately return date/timestamp/Decimal
     # columns, which json can't encode natively (ADVICE r4 — cmd_query crashed
     # on q_vwap_twap); stringifying matches cmd_sql/cmd_bars display semantics.

@@ -204,3 +204,58 @@ def bpe_vocab(docs: DataFrame, rounds: int = 8) -> DataFrame:
         .agg(F.sum("freq").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("sym"))
     )
+
+
+def tokenize_sample(docs: DataFrame, rounds: int = 8,
+                    sample_mod: int = 25) -> DataFrame:
+    """Actual BPE tokenization of a deterministic doc sample: per word
+    (in document order) the subword sequence under the learned merges —
+    the end of the tokenizer story (train → vocab → fertility →
+    TOKENIZE), emitted word-level so no cross-word state is needed.
+
+    The word→subwords map is the merged global histogram (vocab-sized,
+    broadcast); tokenizing is a posexplode + broadcast join — map-only
+    over however many docs are asked for. ``sample_mod`` keeps the
+    output a fixed fraction of the corpus at every scale."""
+    merges = bpe_learn(docs, rounds)
+    vocab_map = _with_wstr(word_histogram(docs))
+    for _, left, right, _, _ in merges:
+        vocab_map = _apply_merge(vocab_map, left, right)
+    vocab_map = vocab_map.selectExpr(
+        "word", f"{_SYMS_EXPR} AS syms")
+    sample = (
+        docs.filter(F.col("doc_id") % sample_mod == 0)
+        .select("doc_id",
+                F.posexplode(F.expr(_WORDS_EXPR)).alias("p", "word"))
+        .select("doc_id", (F.col("p") + 1).alias("word_pos"), "word")
+    )
+    return (
+        sample.join(F.broadcast(vocab_map), "word")
+        .select(
+            "doc_id", "word_pos", "word",
+            F.size("syms").alias("n_subtokens"),
+            F.array_join("syms", " ").alias("subtokens"),
+        )
+        .orderBy("doc_id", "word_pos")
+    )
+
+
+def bpe_artifacts(docs: DataFrame, rounds: int = 8
+                  ) -> tuple[DataFrame, DataFrame]:
+    """One training pass → both persistable artifacts: (merge table,
+    final vocabulary). The CLI's tokenizer-train command ships these to
+    tokenize workers; training once instead of per-artifact matters when
+    the corpus scan is the dominant term."""
+    spark: SparkSession = docs.sparkSession
+    merges = bpe_learn(docs, rounds)
+    merges_df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    words = _with_wstr(word_histogram(docs))
+    for _, left, right, _, _ in merges:
+        words = _apply_merge(words, left, right)
+    vocab_df = (
+        words.selectExpr("freq", f"explode({_SYMS_EXPR}) AS sym")
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sym"))
+    )
+    return merges_df, vocab_df

@@ -157,3 +157,29 @@ def test_cli_corpus_build_default_policy_is_neardup_v2(tmp_path, capsys):
     assert res["n_rows"] >= 1
     assert {"doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5"} <= set(
         res["rows"][0])
+
+
+def test_cli_tokenizer_train_writes_both_artifacts(tmp_path, capsys):
+    """tokenizer-train persists merges.parquet + vocab.parquet — the
+    pair a tokenize worker loads; merge table applies in rnd order."""
+    import json as _json
+
+    from real_big_data_project_spark.__main__ import main
+
+    out_dir = str(tmp_path / "tok")
+    rc = main(["tokenizer-train", "--docs", "/root/testdata/sf0.001",
+               "--out", out_dir, "--rounds", "6"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_merges"] == 6 and res["vocab_size"] > 26
+
+    from real_big_data_project_spark.session import get_spark
+    spark = get_spark("rbds-cli")
+    merges = spark.read.parquet(f"{out_dir}/merges.parquet").orderBy("rnd").collect()
+    assert [m.rnd for m in merges] == list(range(1, 7))
+    assert all(m.merged == m.left_sym + m.right_sym for m in merges)
+    vocab = spark.read.parquet(f"{out_dir}/vocab.parquet").collect()
+    # every non-seed vocab symbol must be a learned merge product
+    learned = {m.merged for m in merges}
+    base = set("abcdefghijklmnopqrstuvwxyz") | {"</w>"}
+    assert all(v.sym in base or v.sym in learned for v in vocab)

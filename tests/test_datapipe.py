@@ -935,3 +935,16 @@ def test_corpus_report_invariants(spark, sf_dir):
         assert 0.0 < r.modal_lang_share <= 1.0
         assert r.modal_lang in langs
         assert r.n_tokens >= r.n_docs  # every doc has >= 1 token
+
+
+def test_tokenize_sample_reassembles_the_words(spark, sf_dir):
+    """Concatenating a word's subtokens (minus the end mark) must give
+    back the word itself — tokenization is a partition of the word."""
+    from real_big_data_project_spark.datapipe.tokenizer import tokenize_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = tokenize_sample(docs, rounds=8, sample_mod=25).collect()
+    assert rows
+    for r in rows:
+        assert r.subtokens.replace(" ", "").removesuffix("</w>") == r.word
+        assert r.n_subtokens == len(r.subtokens.split(" "))
