@@ -685,3 +685,62 @@ def simjoin_prefix(
         .filter(F.col("jaccard") >= threshold)
     )
     return jac.select("da", "db", F.round("jaccard", 5).alias("jaccard"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    max_df: int = 2,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    C(A,B) = |A∩B|/|A| in both directions, for pairs anchored by a RARE
+    shingle. Jaccard misses doc-inclusion (a short doc quoted inside a
+    long one has tiny |∩|/|∪| but containment ≈ 1); this is the
+    quote/subset signal a contamination or provenance pass needs.
+
+    Candidates are NOT symmetric-LSH bands (a contained short doc rarely
+    collides on minhash bands with its container) — they are pairs
+    sharing a shingle with document frequency ≤ ``max_df``, the
+    rare-n-gram anchoring used in benchmark-contamination scans. Pair
+    fan-out is Σ_{df≤m} C(df,2) ≤ m·|postings| — LINEAR in corpus size
+    for fixed m, never all-pairs. Verification then touches candidates
+    only, with shingle sets travelling as xxhash64 longs (cardinalities
+    preserved; the ngram_jaccard_pairs transport argument verbatim).
+    Containment is one integer division — bit-exact across engines.
+    """
+    sh = exploded_shingles(docs, n_shingle, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        sh.join(dfreq.filter(F.col("df") <= max_df), "shingle")
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = (
+        sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / F.size("sh_a")).alias("cont_a_in_b"),
+            (inter.cast("double") / F.size("sh_b")).alias("cont_b_in_a"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+    )

@@ -59,13 +59,13 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-9 prefix: the ten queries ADDED this round
+# trusted to rotate).  Round-9 prefix: the eleven queries ADDED this round
 # (pinned — a prior green row cannot exist for new output: the tokenizer
 # family, CCNet buckets, LPA, corpus report, DSIR, source overlap), then
 # q_datapipe_e2e_v2 (never gated), then the 30 r04-vintage rows, then
 # r05-vintage fill.
 _ROTATION_VINTAGE = 8
-_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_bpe_vocab', 'q_doc_tokens', 'q_vocab_coverage', 'q_perplexity_buckets', 'q_label_propagation', 'q_corpus_report', 'q_importance_resample', 'q_source_overlap')
+_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_bpe_vocab', 'q_doc_tokens', 'q_vocab_coverage', 'q_perplexity_buckets', 'q_label_propagation', 'q_corpus_report', 'q_containment', 'q_importance_resample', 'q_source_overlap')
 _RISKIEST: tuple[str, ...] = (
     "q_bpe_train",  # never gated
     "q_bpe_encode",  # never gated
@@ -75,6 +75,7 @@ _RISKIEST: tuple[str, ...] = (
     "q_perplexity_buckets",  # never gated
     "q_label_propagation",  # never gated
     "q_corpus_report",  # never gated
+    "q_containment",  # never gated
     "q_importance_resample",  # never gated
     "q_source_overlap",  # never gated
     "q_datapipe_e2e_v2",  # never gated
@@ -116,7 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_embedding_pool",  # last green r05
     "q_grouping_sets",  # last green r05
     "q_idle_rich_customers",  # last green r05
-    "q_lang_id",  # last green r05
 )
 
 

@@ -3716,3 +3716,52 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = R.load_table(spark, sf_dir, "documents")
     return CP.corpus_report(docs)
+
+
+@register(
+    "q_containment",
+    oracle=f"""
+    WITH {SQL_CORPUS},
+    {SQL_SHINGLES},
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    rare AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE df <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.sh, y.sh)) AS inter,
+             len(x.sh) AS na, len(y.sh) AS nb
+      FROM cand
+      JOIN shingled x ON x.doc_id = doc_a
+      JOIN shingled y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_common,
+           inter / CAST(na AS DOUBLE) AS cont_a_in_b,
+           inter / CAST(nb AS DOUBLE) AS cont_b_in_a
+    FROM ver
+    WHERE greatest(inter / CAST(na AS DOUBLE),
+                   inter / CAST(nb AS DOUBLE)) >= 0.8
+    """,
+    description="Asymmetric shingle-set CONTAINMENT (|A∩B|/|A|, both "
+                "directions) over rare-shingle-anchored candidates — the "
+                "doc-inclusion/quote signal Jaccard structurally misses "
+                "(a short doc inside a long one has tiny |∩|/|∪| but "
+                "containment ≈ 1); the provenance/contamination "
+                "companion to q_dedup_ngram_jaccard. Candidates = pairs "
+                "sharing a df ≤ 2 shingle (rare-n-gram anchoring): "
+                "fan-out ≤ m·|postings|, linear in corpus size, never "
+                "all-pairs; verification candidates-only with hashed-"
+                "long set transport. One integer division → bit-exact. "
+                "datapipe/dedup_text.py::containment_pairs.",
+    tags=("datapipe",),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = R.load_table(spark, sf_dir, "documents")
+    corpus = CP.with_near_duplicates(docs)
+    return DT.containment_pairs(corpus, n_shingle=3, max_df=2,
+                                threshold=0.8)

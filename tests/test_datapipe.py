@@ -948,3 +948,26 @@ def test_tokenize_sample_reassembles_the_words(spark, sf_dir):
     for r in rows:
         assert r.subtokens.replace(" ", "").removesuffix("</w>") == r.word
         assert r.n_subtokens == len(r.subtokens.split(" "))
+
+
+def test_containment_catches_planted_truncated_copies(docs, corpus):
+    """The truncated-tail plants are strict SUBSETS of their originals:
+    containment must report them at cont≈1 in the subset direction even
+    where Jaccard would sit below a high threshold."""
+    pairs = DT.containment_pairs(corpus, n_shingle=3, max_df=2,
+                                 threshold=0.8).collect()
+    assert pairs
+    found = {(r.doc_a, r.doc_b): r for r in pairs}
+    exact = _planted_pairs(docs, 0)       # identical copies
+    trunc = _planted_pairs(docs, 1)       # tail-truncated copies
+    hit_exact = exact & set(found)
+    hit_trunc = trunc & set(found)
+    # rare-anchor recall: nearly all plants share a df<=2 shingle
+    assert len(hit_exact) >= 0.9 * len(exact)
+    assert len(hit_trunc) >= 0.9 * len(trunc)
+    for k in hit_exact:
+        assert found[k].cont_a_in_b == 1.0 and found[k].cont_b_in_a == 1.0
+    for k in hit_trunc:
+        # copy (doc_b, higher id) is contained in the original (doc_a)
+        assert found[k].cont_b_in_a == 1.0
+        assert found[k].cont_a_in_b <= 1.0
