@@ -127,36 +127,57 @@ ORGANIC_PICKS = (
     "q_knn_graph",
 )
 
+# Per-pick overrides for the organic leg. q_semantic_dedup's catalog
+# registration pins k=SEMDEDUP_K (=16) so its DuckDB oracle can unroll
+# the clustering at driver scale — but a FIXED k is quadratic in cluster
+# size, and at organic_sf1 (30k vectors → ~1.9k-vector clusters) the
+# within-cluster scoring costs ~270 s vs ~7 s for the production
+# k='auto' path (round-9 measurement). The leg prices the PRODUCTION
+# configuration, same as tools/sweep_organic_sf100.py.
+# The pick also runs SINGLE-PASS: semantic_dedup localCheckpoints its
+# labeled-vector frame, and those blocks accumulate across repeated
+# executions in one session (measured 7 s first pass → 20 s second at
+# organic_sf1) — a warm-then-time protocol would price block-manager
+# residency, not the plan.
+def _organic_semantic_auto(spark, sf_dir):
+    from real_big_data_project_spark.datapipe import similarity as SIM
+    from real_big_data_project_spark.sources.registry import load_table
 
-def _organic_leg(spark, qmap) -> dict:
-    """Time ORGANIC_PICKS at _artifacts/organic_sf1 (untimed warm pass,
-    then one timed pass each — the picks are multi-second at this scale
-    so a single post-warm rep is stable). Regenerates the sf1 corpus if
-    missing (deterministic, seed 777, ~5 s). SPARK_GRAFT_BENCH_ORGANIC=0
-    skips the leg."""
-    if os.environ.get("SPARK_GRAFT_BENCH_ORGANIC", "1") == "0":
-        return {}
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, k="auto", threshold=0.9)
+
+
+ORGANIC_OVERRIDES = {"q_semantic_dedup": _organic_semantic_auto}
+ORGANIC_SINGLE_PASS = {"q_semantic_dedup"}
+
+
+def run_organic_leg() -> int:
+    """Child-process body of the organic leg: own (fresh) session, an
+    untimed warm pass then one timed pass per pick (multi-second picks —
+    a single post-warm rep is stable), one JSON line on stdout."""
+    from real_big_data_project_spark.plans import queries_map
+    from real_big_data_project_spark.session import get_spark
+
     repo = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.path.join(repo, "_artifacts", "organic_sf1")
     if not all(os.path.exists(os.path.join(sf_dir, t))
                for t in ("documents.parquet", "embeddings.parquet")):
         sys.path.insert(0, os.path.join(repo, "tools"))
-        try:
-            from make_organic_corpus import SCALES, build_scale
+        from make_organic_corpus import SCALES, build_scale
 
-            build_scale(*SCALES[0])
-        except Exception as exc:
-            print(f"bench: organic leg skipped (corpus gen failed: {exc})",
-                  file=sys.stderr)
-            return {}
+        build_scale(*SCALES[0])
+    spark = get_spark("rbds-bench-organic")
+    qmap = queries_map()
     leg: dict = {"sf_dir": "_artifacts/organic_sf1", "queries": {}}
     total = 0.0
     for name in ORGANIC_PICKS:
+        builder = ORGANIC_OVERRIDES.get(name, qmap[name])
         try:
-            force(qmap[name](spark, sf_dir))  # warm (fixtures, JIT)
-            spark._jvm.System.gc()
+            if name not in ORGANIC_SINGLE_PASS:
+                force(builder(spark, sf_dir))  # warm (fixtures, JIT)
+                spark._jvm.System.gc()
             t0 = time.perf_counter()
-            force(qmap[name](spark, sf_dir))
+            force(builder(spark, sf_dir))
             dt = time.perf_counter() - t0
         except Exception as exc:
             print(f"bench: organic {name} FAILED: {exc}", file=sys.stderr)
@@ -166,7 +187,35 @@ def _organic_leg(spark, qmap) -> dict:
         total += dt
         spark._jvm.System.gc()
     leg["total"] = round(total, 4)
-    return leg
+    print(json.dumps(leg))
+    return 0
+
+
+def _organic_leg() -> dict:
+    """Time ORGANIC_PICKS at _artifacts/organic_sf1 in a FRESH
+    subprocess. The leg used to share the main bench session and ran
+    LAST, after ~170 queries × 3 reps — the accumulated session debt
+    inflated q_semantic_dedup from its ~6 s standalone cost to 252 s in
+    the round-9 record (3-rep standalone probe: 14.6/6.9/5.8 s), which
+    would misread as a 40× scale regression. A fresh JVM prices the
+    plan, not the session's history (the fresh_top5 rationale).
+    Regenerates the sf1 corpus if missing (deterministic, seed 777,
+    ~5 s). SPARK_GRAFT_BENCH_ORGANIC=0 skips the leg."""
+    if os.environ.get("SPARK_GRAFT_BENCH_ORGANIC", "1") == "0":
+        return {}
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--organic-leg"],
+            capture_output=True, text=True, timeout=900,
+            env=os.environ.copy(),
+        )
+        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+        return json.loads(line)
+    except Exception as exc:
+        print(f"bench: organic leg skipped ({exc})", file=sys.stderr)
+        return {}
 
 
 def main() -> int:
@@ -262,7 +311,7 @@ def main() -> int:
         rep_spread[n]["min"] if n in rep_spread else v
         for n, v in timings.items() if v >= 0
     ) + (600.0 * len(failed))
-    organic = _organic_leg(spark, qmap)
+    organic = _organic_leg()
     payload = {
         "metric": "catalog_total_wall",
         "value": round(total, 4),
@@ -323,4 +372,6 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--single":
         raise SystemExit(run_single(sys.argv[2]))
+    if len(sys.argv) == 2 and sys.argv[1] == "--organic-leg":
+        raise SystemExit(run_organic_leg())
     raise SystemExit(main())

@@ -44,6 +44,20 @@ SINGLE_TIMEOUT_S = 1800
 # fine here; q_semantic_dedup's mirror is quadratic-in-cluster and
 # q_knn_graph's is cell-quadratic — their correctness is driver-gated at
 # sf0.01, this sweep prices their scale).
+#
+# Timing protocol (round-9 fix): picks are forced with the NOOP WRITER,
+# not .count() — under count() Catalyst eliminates cardinality-
+# preserving marker joins together with everything behind them, and the
+# prior records silently priced q_semantic_dedup without its within-
+# cluster scoring (2 joins -> 0), q_doc_fingerprint without its dup-
+# marker join (1 -> 0) and q_ann_recall with 1 of its 7 joins. Bench
+# has always noop-forced; the sweeps now match it.
+# q_semantic_dedup is priced as the PRODUCTION k='auto' path (the
+# catalog's fixed k=16 exists for oracle unrolling at driver scale and
+# is quadratic-in-cluster here: ~270 s vs ~7 s at organic_sf1), and
+# SINGLE-PASS per scale: its localCheckpoint blocks accumulate across
+# repeat executions in one session (7 s first pass -> 20 s second), so
+# best-of-2 would price block-manager residency, not the plan.
 PICKS: tuple[tuple[str, bool], ...] = (
     ("q_dedup_exact", True),
     ("q_doc_fingerprint", True),
@@ -106,20 +120,35 @@ def run_single(name: str, want_oracle: bool) -> int:
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     C._load_all()
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def _builder(sf_dir):
+        if name == "q_semantic_dedup":
+            from real_big_data_project_spark.datapipe import similarity as SIM
+            from real_big_data_project_spark.sources.registry import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            return SIM.semantic_dedup(emb, k="auto", threshold=0.9)
+        return spec.builder(spark, sf_dir)
+
+    single_pass = name == "q_semantic_dedup"
     row: dict = {}
     spec = C.QUERIES[name]
     for sf_dir, key in ((SF1, "t_sf1"), (SF10, "t_sf10")):
-        spec.builder(spark, sf_dir).count()  # warm: fixtures, JIT
-        # best-of-2 timed passes: even in a fresh JVM a single pass can
-        # catch a GC pause from the warm pass's debt; min is the
-        # steady-state plan cost the ratio should price
-        best, n = None, 0
-        for _ in range(2):
+        if not single_pass:
+            _force(_builder(sf_dir))  # warm: fixtures, JIT
+        # best-of-2 timed passes (single-pass picks: one): even in a
+        # fresh JVM a single pass can catch a GC pause from the warm
+        # pass's debt; min is the steady-state plan cost
+        best = None
+        for _ in range(1 if single_pass else 2):
             t0 = time.time()
-            n = spec.builder(spark, sf_dir).count()
+            _force(_builder(sf_dir))
             t = time.time() - t0
             best = t if best is None else min(best, t)
             spark._jvm.System.gc()
+        n = _builder(sf_dir).count()  # untimed, rows for the record
         row[key] = round(best, 2)
         row["rows_sf10" if key == "t_sf10" else "rows_sf1"] = n
     row["ratio"] = round(row["t_sf10"] / max(row["t_sf1"], 0.05), 1)

@@ -134,8 +134,15 @@ def run_single(name: str, want_oracle: bool) -> int:
     from real_big_data_project_spark.plans.oracle_check import check_query
 
     builder, spec = _builder(name)
+    # q_semantic_dedup_autok is SINGLE-PASS on BOTH legs: semantic_dedup
+    # localCheckpoints its labeled-vector frame and those blocks
+    # accumulate across repeat executions in one session (measured
+    # 48 s -> 164 s second pass at organic_sf10) — warm+best-of-2 would
+    # price block-manager residency, not the plan (round-9 noop fix).
+    single_pass = name == "q_semantic_dedup_autok"
     row: dict = {}
-    for sf_dir, key, passes in ((SF10, "t_sf10", 2), (SF100, "t_sf100", 1)):
+    for sf_dir, key, passes in ((SF10, "t_sf10", 1 if single_pass else 2),
+                                (SF100, "t_sf100", 1)):
         # Warm pass: fixtures + JIT. The sf100 leg SKIPS it — the sf10
         # legs just JIT'd the identical plan, a minutes-long leg
         # amortizes any residual first-use cost below the ratio's
@@ -144,17 +151,25 @@ def run_single(name: str, want_oracle: bool) -> int:
         # JVM GC: a warm+timed sf100 double-run overlaps two ~60 GB
         # footprints and ENOSPC'd this machine's scratch twice (the
         # System.gc() between passes did not flush in time).
-        if sf_dir is not SF100:
-            builder(spark, sf_dir).count()
+        def _force(df):
+            # noop writer, not .count(): count() lets Catalyst eliminate
+            # cardinality-preserving marker joins (and everything behind
+            # them) — the pre-round-9 records priced q_semantic_dedup
+            # WITHOUT its within-cluster scoring. Matches bench.py.
+            df.write.format("noop").mode("overwrite").save()
+
+        if sf_dir is not SF100 and not single_pass:
+            _force(builder(spark, sf_dir))
             spark._jvm.System.gc()
-        best, n = None, 0
+        best = None
         for _ in range(passes):
             t0 = time.time()
-            n = builder(spark, sf_dir).count()
+            _force(builder(spark, sf_dir))
             t = time.time() - t0
             best = t if best is None else min(best, t)
             spark._jvm.System.gc()
             time.sleep(2)  # let ContextCleaner drain before the next pass
+        n = builder(spark, sf_dir).count()  # untimed, rows for the record
         row[key] = round(best, 2)
         row["rows_sf100" if key == "t_sf100" else "rows_sf10"] = n
     row["ratio"] = round(row["t_sf100"] / max(row["t_sf10"], 0.05), 1)
