@@ -58,7 +58,13 @@ SF10 = os.path.join(REPO, "_artifacts", "organic_sf10")
 SF100 = os.path.join(REPO, "_artifacts", "organic_sf100")
 OUT = os.path.join(REPO, "_artifacts", "sweep_organic_sf100.json")
 RATIO_FLAG = 12.0
-SINGLE_TIMEOUT_S = 5400  # sf10 legs + sf100 warm + timed + sf10 oracle
+# sf10 legs + sf100 warm + timed + sf10 oracle. Raised 5400 -> 10800 in
+# round 9: under honest noop forcing q_semantic_dedup_autok's sf100 leg
+# is dominated by the k-means assignment at the k=4096 auto-cap
+# (3M vectors × 4096 centroids × 2 passes ≈ 25B distance evaluations)
+# and legitimately runs beyond 90 min on this box — the old budget
+# recorded a timeout, not a number.
+SINGLE_TIMEOUT_S = 10800
 
 # (pick, oracle_at_organic_sf10)
 PICKS: tuple[tuple[str, bool], ...] = (
