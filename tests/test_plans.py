@@ -448,3 +448,36 @@ def test_ivf_recall_sweep_is_one_window_pass(qmap, spark, sf_dir):
     n_window = len(re.findall(r"\bWindow \[", plan))
     assert n_window == 2, f"{n_window} Window exec nodes"
     assert "CartesianProduct" not in plan
+
+
+def test_sweep_tools_time_with_noop_writer_not_count():
+    """Round-9 regression guard: timing with .count() lets Catalyst
+    eliminate cardinality-preserving marker joins and everything behind
+    them — the organic sweep recorded q_semantic_dedup at 6.3s where
+    the honest noop-forced cost was ~270s (k-means alone vs the full
+    plan). Every sweep tool and the bench must force with the noop
+    writer; count() is allowed only for untimed row-count capture."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for tool in ("bench.py", "tools/sweep_organic.py",
+                 "tools/sweep_organic_sf100.py", "tools/sweep_sf10.py",
+                 "tools/sweep_sf1.py"):
+        src = open(os.path.join(repo, tool)).read()
+        assert 'format("noop")' in src, f"{tool}: no noop forcing"
+
+
+def test_count_plan_elimination_is_the_documented_three(qmap, spark, sf_dir):
+    """The marker-join queries whose count() plans drop work must stay
+    exactly the documented set — a NEW query joining this list means a
+    NEW sweep/bench blind spot if anything ever times it via count().
+    (Full-materialization plans keep all joins; count() plans may not.)"""
+    known_loses_work = {"q_semantic_dedup", "q_doc_fingerprint",
+                        "q_ann_recall"}
+    for name in sorted(known_loses_work):
+        df = qmap[name](spark, sf_dir)
+        full = df._jdf.queryExecution().executedPlan().toString()
+        cnt = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+        assert cnt.count("Join") < full.count("Join"), (
+            f"{name}: count() no longer eliminates joins — update the "
+            "documented set (PERF_NOTES round 9) either way")
