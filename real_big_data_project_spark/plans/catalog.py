@@ -59,64 +59,64 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-9 prefix: the eleven queries ADDED this round
-# (pinned — a prior green row cannot exist for new output: the tokenizer
-# family, CCNet buckets, LPA, corpus report, DSIR, source overlap), then
-# q_datapipe_e2e_v2 (never gated), then the 30 r04-vintage rows, then
-# r05-vintage fill.
-_ROTATION_VINTAGE = 8
-_PINNED: tuple[str, ...] = ('q_bpe_train', 'q_bpe_encode', 'q_bpe_vocab', 'q_doc_tokens', 'q_vocab_coverage', 'q_perplexity_buckets', 'q_label_propagation', 'q_corpus_report', 'q_containment', 'q_importance_resample', 'q_source_overlap')
+# trusted to rotate).  Round-10 prefix: nothing is pinned yet (new
+# round-10 queries get pinned when they register); the 26 remaining
+# r05-vintage rows lead (multimodal family, lang-id/text-stats, the r04
+# TPC-H analogues already cleared in r09), then r06-vintage fill — after
+# this gate no catalog query's latest green row predates r06.
+_ROTATION_VINTAGE = 9
+_PINNED: tuple[str, ...] = ()
 _RISKIEST: tuple[str, ...] = (
-    "q_bpe_train",  # never gated
-    "q_bpe_encode",  # never gated
-    "q_bpe_vocab",  # never gated
-    "q_doc_tokens",  # never gated
-    "q_vocab_coverage",  # never gated
-    "q_perplexity_buckets",  # never gated
-    "q_label_propagation",  # never gated
-    "q_corpus_report",  # never gated
-    "q_containment",  # never gated
-    "q_importance_resample",  # never gated
-    "q_source_overlap",  # never gated
-    "q_datapipe_e2e_v2",  # never gated
-    "q_having_large_orders",  # last green r04
-    "q_heavy_hitters",  # last green r04
-    "q_linreg_train",  # last green r04
-    "q_median_mode",  # last green r04
-    "q_merge_upsert",  # last green r04
-    "q_min_price_supplier",  # last green r04
-    "q_percentiles",  # last green r04
-    "q_pivot_wide",  # last green r04
-    "q_quantile_bucket",  # last green r04
-    "q_rank_functions",  # last green r04
-    "q_recursive_ancestry",  # last green r04
-    "q_scan_csv_quarantine",  # last green r04
-    "q_scan_jsonl",  # last green r04
-    "q_scan_mixed_dir",  # last green r04
-    "q_scan_orc",  # last green r04
-    "q_scd2_intervals",  # last green r04
-    "q_sessionize",  # last green r04
-    "q_snapshot_diff",  # last green r04
-    "q_span_dedup",  # last green r04
-    "q_sql_passthrough",  # last green r04
-    "q_streaming_stateful_pct",  # last green r04
-    "q_supplier_wait_fault",  # last green r04
-    "q_svm_train",  # last green r04
-    "q_time_travel",  # last green r04
-    "q_trend_slope",  # last green r04
-    "q_udtf_chunks",  # last green r04
-    "q_unpivot",  # last green r04
-    "q_value_histogram",  # last green r04
-    "q_vwap_twap",  # last green r04
-    "q_zorder_layout",  # last green r04
-    "q_bigram_lm",  # last green r05
-    "q_bm25",  # last green r05
-    "q_data_mixture",  # last green r05
-    "q_dedup_exact",  # last green r05
-    "q_doc_chunking",  # last green r05
-    "q_embedding_pool",  # last green r05
-    "q_grouping_sets",  # last green r05
-    "q_idle_rich_customers",  # last green r05
+    "q_lang_id",  # last green r05
+    "q_market_share",  # last green r05
+    "q_multimodal_decode",  # last green r05
+    "q_multimodal_features",  # last green r05
+    "q_multimodal_frames",  # last green r05
+    "q_multimodal_meta",  # last green r05
+    "q_order_count_distribution",  # last green r05
+    "q_pandas_udf_norm",  # last green r05
+    "q_profit_by_nation_year",  # last green r05
+    "q_promo_revenue",  # last green r05
+    "q_qualified_suppliers",  # last green r05
+    "q_repetition_filter",  # last green r05
+    "q_sequence_packing",  # last green r05
+    "q_small_qty_revenue",  # last green r05
+    "q_source_divergence",  # last green r05
+    "q_stratified_sample",  # last green r05
+    "q_supplier_excl_count",  # last green r05
+    "q_temperature_mix",  # last green r05
+    "q_text_stats",  # last green r05
+    "q_top_revenue_supplier",  # last green r05
+    "q_top_terms_by_lang",  # last green r05
+    "q_unigram_surprisal",  # last green r05
+    "q_up_streaks",  # last green r05
+    "q_variant_extract",  # last green r05
+    "q_weighted_sample",  # last green r05
+    "q_zipf_fit",  # last green r05
+    "q_above_avg",  # last green r06
+    "q_anti_join_new_keys",  # last green r06
+    "q_array_ops",  # last green r06
+    "q_asof_join",  # last green r06
+    "q_broadcast_lookup",  # last green r06
+    "q_case_market_map",  # last green r06
+    "q_case_when_clamp",  # last green r06
+    "q_company_timeseries",  # last green r06
+    "q_counts",  # last green r06
+    "q_customer_revenue",  # last green r06
+    "q_daily_bars_fallback",  # last green r06
+    "q_dashboard_session",  # last green r06
+    "q_dedup_keys",  # last green r06
+    "q_event_transitions",  # last green r06
+    "q_exists_late_orders",  # last green r06
+    "q_filter_outliers",  # last green r06
+    "q_filter_positive",  # last green r06
+    "q_first_last_per_group",  # last green r06
+    "q_fuzzy_match",  # last green r06
+    "q_group_count",  # last green r06
+    "q_intersect_except",  # last green r06
+    "q_interval_join",  # last green r06
+    "q_isin_resolve",  # last green r06
+    "q_join_distinct_orderby",  # last green r06
 )
 
 
