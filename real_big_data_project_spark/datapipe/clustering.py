@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from .similarity import CENTROID_ROUND, as_double
 
 DIST_ROUND = 5
+COARSE_N_PROBE = 2  # IVF-style probes per vector in the two-level assignment
 
 
 def _sq_l2(a: str, b: str) -> F.Column:
@@ -111,6 +112,121 @@ def _assign(vecs: DataFrame, cents: DataFrame,
     return ids.join(vecs, "vec_id").select("vec_id", "v", "cluster", "dist")
 
 
+def _coarse_quantize(cents: DataFrame, dim: int | None, kc: int):
+    """Mini two-pass k-means over the k FINE centroids themselves →
+    (membership (cluster, coarse), coarse_cents (coarse, c)).
+
+    This is the coarse quantizer of the two-level assignment: the input
+    is k rows (k ≤ 4096 — metadata-sized relative to the corpus), so the
+    k×kc mini cross join is trivial next to the n·√k main passes it
+    unlocks. Same determinism contract as the corpus-level k-means:
+    seeds = the kc smallest-INDEX fine centroids, rounded-distance
+    argmin with index tiebreak, rounded-mean update. `coarse_cents` is
+    the UPDATED set — the same frame the membership was assigned
+    against, so a vector probing its nearest coarse cell sees exactly
+    the cells the fine centroids were filed under."""
+    cvecs = cents.select(F.col("cluster").alias("vec_id"), F.col("c").alias("v"))
+    seeds = cvecs.orderBy("vec_id").limit(kc)
+    sw = Window.orderBy("vec_id")
+    cc = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
+        "cluster", F.col("v").alias("c")
+    )
+    asg = _assign(cvecs, cc, dim, n_clusters=kc)
+    cc = _update(asg)
+    asg = _assign(cvecs, cc, dim, n_clusters=kc)
+    membership = asg.select(
+        F.col("vec_id").alias("cluster"), F.col("cluster").cast("int").alias("coarse")
+    )
+    return membership, cc.select(F.col("cluster").cast("int").alias("coarse"), "c")
+
+
+def _assign_two_level(
+    vecs: DataFrame,
+    cents: DataFrame,
+    dim: int | None,
+    k: int,
+    kc: int,
+    n_probe: int = COARSE_N_PROBE,
+) -> DataFrame:
+    """(vec_id, v, cluster, dist): two-level (coarse→fine, IVF-style)
+    nearest-centroid assignment — the n·O(√k) replacement for `_assign`'s
+    brute n·k scan at the production SemDeDup k (VERDICT r9 item 2: the
+    k=4096 auto-cap made brute assignment ~25B distance evals at the
+    3M-vector organic sf100 scale and timed out the sweep leg; SemDeDup
+    itself assigns through faiss's coarse quantizer for the same reason).
+
+    Shape: (1) coarse-quantize the k fine centroids into kc ≈ √k cells
+    (mini k-means over k rows); (2) per vector, score the NON-EMPTY
+    coarse cells (n·kc codegen'd distance evals, map-only broadcast
+    cross join) and keep the `n_probe` nearest — the per-vector top-p is
+    a collect_list of (dist, coarse)-encoded longs, array_sort, slice:
+    an ObjectHashAggregate whose partials collapse each vector's kc
+    candidates before the shuffle; (3) fine argmin ONLY against the
+    fine centroids filed under the probed cells (n·n_probe·k/kc evals
+    on average, broadcast join — no shuffle can skew on a hot cell),
+    via the same encoded-long HashAggregate as `_assign`. Vectors ride
+    back in through id-keyed joins, never through an aggregate buffer
+    (the round-9 SortAggregate/ENOSPC lesson).
+
+    Determinism: distances rounded to DIST_ROUND, ties broken by coarse
+    index then cluster index — the same total ordering as `_assign`, so
+    a SQL mirror (row_number over (d, index)) is bit-equal. Probing only
+    NON-EMPTY cells guarantees every vector gets ≥1 fine candidate (no
+    dropped rows), and at pass 1 each seed vector's top-1 probe IS the
+    cell its own zero-distance centroid was filed under (identical
+    score rows → identical argmin), preserving the no-empty-seed-cluster
+    property of the exact path.
+
+    The result is a deterministic APPROXIMATION of the brute argmin —
+    a vector near a coarse boundary can assign to a second-best fine
+    cluster. That is the IVF trade the SemDeDup paper itself makes;
+    recall against planted duplicates is measured, not assumed
+    (tools/sweep_organic_sf100.py records dups_found)."""
+    # Pin: the mini k-means makes several passes over `cents`, whose
+    # lineage at pass 2 is a full-corpus update aggregate (and at pass 1
+    # a corpus TakeOrdered) — unpinned, each mini-pass re-runs it.
+    cents = cents.localCheckpoint(eager=False)
+    membership, ccents = _coarse_quantize(cents, dim, kc)
+    pcc = ccents.join(membership.select("coarse").distinct(), "coarse")
+    sq = _sq_l2_fixed("v", "c", dim) if dim else _sq_l2("v", "c")
+    scale = 10 ** DIST_ROUND
+    ckey = (
+        F.round(F.round(sq, DIST_ROUND) * scale).cast("long") * kc
+        + F.col("coarse").cast("long")
+    )
+    probed = (
+        vecs.crossJoin(F.broadcast(pcc))
+        .select("vec_id", ckey.alias("_ck"))
+        .groupBy("vec_id")
+        .agg(F.slice(F.array_sort(F.collect_list("_ck")), 1, n_probe).alias("_cks"))
+        .select(
+            "vec_id",
+            F.explode(F.transform("_cks", lambda x: (x % kc).cast("int"))).alias(
+                "coarse"
+            ),
+        )
+    )
+    fcand = cents.join(membership, "cluster").select("coarse", "cluster", "c")
+    mult = int(k)
+    fkey = (
+        F.round(F.round(sq, DIST_ROUND) * scale).cast("long") * mult
+        + F.col("cluster").cast("long")
+    )
+    ids = (
+        probed.join(vecs, "vec_id")
+        .join(F.broadcast(fcand), "coarse")
+        .select("vec_id", fkey.alias("_k"))
+        .groupBy("vec_id")
+        .agg(F.min("_k").alias("_k"))
+        .select(
+            "vec_id",
+            (F.col("_k") % mult).cast("int").alias("cluster"),
+            (F.expr(f"_k div {mult}").cast("double") / scale).alias("dist"),
+        )
+    )
+    return ids.join(vecs, "vec_id").select("vec_id", "v", "cluster", "dist")
+
+
 def _update(assigned: DataFrame) -> DataFrame:
     """(cluster, c): per-dimension mean of the members, rounded — dims
     exploded into one hash aggregate, arrays rebuilt in dim order."""
@@ -126,12 +242,25 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def coarse_k(k: int) -> int:
+    """ceil(sqrt(k)) — the coarse-quantizer size of the two-level
+    assignment. Integer-exact (math.isqrt, no float sqrt) so the Python
+    value always agrees with a SQL mirror's CAST(ceil(sqrt(k))) (double
+    sqrt cannot cross an integer boundary below k=4096)."""
+    import math
+
+    r = math.isqrt(max(k, 1))
+    return r if r * r == k else r + 1
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 4,
     n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
+    n_probe: int = COARSE_N_PROBE,
 ) -> DataFrame:
     """Run Lloyd's k-means and return the final assignment
     (vec_id, cluster, dist). `n_assign` assignment passes with
@@ -140,6 +269,14 @@ def kmeans_assign(
     Seeding from the k smallest-id vectors guarantees no cluster starts
     empty (each seed is at distance 0 from its own centroid), so neither
     engine needs an empty-cluster repair rule.
+
+    `two_level=True` swaps each brute n·k assignment pass for the
+    coarse→fine `_assign_two_level` (kc = ceil(√k) coarse cells,
+    `n_probe` probes): n·O(√k) per pass — the production path for
+    corpus-scaled k (SemDeDup's auto-k caps at 4096, where brute
+    assignment is the measured sf100 scale wall). The two-level result
+    is a deterministic approximation of the brute argmin; the exact
+    path remains the default for the small fixed-k analytics queries.
     """
     from ..functions.vectors import infer_dim
 
@@ -150,10 +287,21 @@ def kmeans_assign(
     cents = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
         "cluster", F.col("v").alias("c")
     )
-    assigned = _assign(vecs, cents, dim, n_clusters=k)
+    if two_level:
+        kc = coarse_k(k)
+
+        def _pass(c: DataFrame) -> DataFrame:
+            return _assign_two_level(vecs, c, dim, k, kc, n_probe=n_probe)
+
+    else:
+
+        def _pass(c: DataFrame) -> DataFrame:
+            return _assign(vecs, c, dim, n_clusters=k)
+
+    assigned = _pass(cents)
     for _ in range(n_assign - 1):
         cents = _update(assigned)
-        assigned = _assign(vecs, cents, dim, n_clusters=k)
+        assigned = _pass(cents)
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )

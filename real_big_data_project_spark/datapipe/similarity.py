@@ -504,10 +504,12 @@ def knn_graph(
 
 
 SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_K_LO = 4
+SEMDEDUP_K_HI = 4096
 
 
 def auto_semdedup_k(n_vectors: int, target_cluster: int = SEMDEDUP_TARGET_CLUSTER,
-                    lo: int = 4, hi: int = 4096) -> int:
+                    lo: int = SEMDEDUP_K_LO, hi: int = SEMDEDUP_K_HI) -> int:
     """Size k so expected cluster size stays ~target_cluster: the
     within-cluster scoring is O(n²/k), so a FIXED k re-grows quadratically
     with the corpus — the same failure mode auto_bucket_dims fixes for
@@ -547,10 +549,20 @@ def semantic_dedup(
         emb, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
     dim = infer_dim(emb, vec_col)
+    two_level = False
     if k == "auto":
         # one count job — an offline dedup run knows its corpus size anyway
         k = auto_semdedup_k(vecs.count())
-    asg = kmeans_assign(vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v")
+        # Corpus-scaled k takes the two-level (coarse→fine) assignment:
+        # brute n·k at the 4096 auto-cap was the measured sf100 scale
+        # wall (~25B distance evals, sweep timeout — VERDICT r9 item 2);
+        # two-level is n·O(√k) per pass. Fixed-k callers (the k=16
+        # catalog oracle pin) keep the exact brute argmin.
+        two_level = True
+    asg = kmeans_assign(
+        vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v",
+        two_level=two_level,
+    )
     lv = vecs.join(
         asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"
     ).withColumn("nv", _norm("v", dim))

@@ -65,8 +65,9 @@ def register(name: str, oracle: str | None, description: str = "",
 # TPC-H analogues already cleared in r09), then r06-vintage fill — after
 # this gate no catalog query's latest green row predates r06.
 _ROTATION_VINTAGE = 9
-_PINNED: tuple[str, ...] = ()
+_PINNED: tuple[str, ...] = ('q_semantic_dedup_autok',)
 _RISKIEST: tuple[str, ...] = (
+    "q_semantic_dedup_autok",  # never gated
     "q_lang_id",  # last green r05
     "q_market_share",  # last green r05
     "q_multimodal_decode",  # last green r05
@@ -116,7 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_intersect_except",  # last green r06
     "q_interval_join",  # last green r06
     "q_isin_resolve",  # last green r06
-    "q_join_distinct_orderby",  # last green r06
 )
 
 

@@ -1082,7 +1082,7 @@ KMEANS_K = 4
 # The Spark side rounds distances/centroids with these module constants;
 # the oracle SQL must interpolate the SAME names (not literals), so a
 # retune rebuilds both sides together instead of gate-mismatching.
-from ..datapipe.clustering import DIST_ROUND  # noqa: E402
+from ..datapipe.clustering import COARSE_N_PROBE, DIST_ROUND  # noqa: E402
 from ..datapipe.similarity import CENTROID_ROUND  # noqa: E402
 
 
@@ -1107,6 +1107,92 @@ def _sql_kmeans_assign(vec_src: str, cent_src: str, out: str) -> str:
       ) WHERE rn = 1
     )
     """
+
+
+def _sql_sq_l2(a: str, b: str) -> str:
+    """Rounded squared-L2 between two double-list columns (mirrors
+    clustering.py::_sq_l2 + the DIST_ROUND rounding of _assign)."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), {DIST_ROUND})"
+    )
+
+
+def _sql_kmeans_assign_2l(vec_src: str, cent_src: str, out: str,
+                          prm: str = "prm") -> str:
+    """One TWO-LEVEL (coarse→fine) assignment pass — the SQL mirror of
+    clustering.py::_assign_two_level, generic in k/kc/n_probe (read from
+    the 1-row `{prm}` CTE, cross-joined rather than referenced as scalar
+    subqueries inside QUALIFY, which DuckDB rejects next to a window).
+    Chain: coarse seeds (kc smallest-index fine centroids) → mini-kmeans
+    pass over the fine centroids → coarse update → fine-centroid
+    membership → per-vector top-n_probe NON-EMPTY coarse cells →
+    fine argmin within probed cells. Every argmin is row_number over
+    (rounded dist ASC, index ASC) — the same total ordering the Spark
+    side encodes into its long keys, so results are bit-equal."""
+    return f"""
+    {out}_cs AS (
+      SELECT coarse, c FROM (
+        SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS INT) AS coarse,
+               c, p.kc AS _kc
+        FROM {cent_src}, {prm} p
+      ) WHERE coarse < _kc
+    ),
+    {out}_cad AS (
+      SELECT f.cluster, f.c, s.coarse, {_sql_sq_l2('f.c', 's.c')} AS d
+      FROM {cent_src} f CROSS JOIN {out}_cs s
+    ),
+    {out}_ca AS (
+      SELECT cluster, c, coarse FROM (
+        SELECT cluster, c, coarse,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY d ASC, coarse ASC) AS rn
+        FROM {out}_cad) WHERE rn = 1
+    ),
+    {out}_cc AS (
+      SELECT coarse, list(cval ORDER BY dim) AS c
+      FROM (SELECT coarse, i AS dim, round(avg(c[i]), {CENTROID_ROUND}) AS cval
+            FROM {out}_ca, unnest(range(1, len(c) + 1)) AS r(i)
+            GROUP BY coarse, i)
+      GROUP BY coarse
+    ),
+    {out}_cmd AS (
+      SELECT f.cluster, u.coarse, {_sql_sq_l2('f.c', 'u.c')} AS d
+      FROM {cent_src} f CROSS JOIN {out}_cc u
+    ),
+    {out}_cm AS (
+      SELECT cluster, coarse FROM (
+        SELECT cluster, coarse,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY d ASC, coarse ASC) AS rn
+        FROM {out}_cmd) WHERE rn = 1
+    ),
+    {out}_pbd AS (
+      SELECT w.vec_id, u.coarse, {_sql_sq_l2('w.v', 'u.c')} AS d
+      FROM {vec_src} w CROSS JOIN {out}_cc u
+      WHERE u.coarse IN (SELECT coarse FROM {out}_cm)
+    ),
+    {out}_pb AS (
+      SELECT vec_id, coarse FROM (
+        SELECT vec_id, coarse, p.n_probe AS _np,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, coarse ASC) AS rn
+        FROM {out}_pbd, {prm} p) WHERE rn <= _np
+    ),
+    {out}_fd AS (
+      SELECT p.vec_id, w.v, m.cluster, {_sql_sq_l2('w.v', 'f.c')} AS d
+      FROM {out}_pb p
+      JOIN {vec_src} w USING (vec_id)
+      JOIN {out}_cm m ON p.coarse = m.coarse
+      JOIN {cent_src} f ON m.cluster = f.cluster
+    ),
+    {out} AS (
+      SELECT vec_id, v, cluster, d FROM (
+        SELECT vec_id, v, cluster, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM {out}_fd) WHERE rn = 1
+    )"""
 
 
 def _sql_kmeans_lists() -> str:
@@ -2864,15 +2950,78 @@ SEMDEDUP_K = 16  # fixed for the oracle mirror; production uses k="auto"
                 "share no n-grams. k must scale with the corpus (within-"
                 "cluster scoring is quadratic in cluster size; "
                 "datapipe/similarity.py::semantic_dedup contract, "
-                "k='auto' sizes it as n/64); the catalog runs the "
-                "oracle-mirrorable fixed k=16. Planted "
-                "perturbed copies provide positives, as in "
-                "q_dedup_embedding.",
+                "k='auto' sizes it as n/64). THIS entry pins k=16 with "
+                "the exact brute argmin — a fixed k is quadratic in "
+                "cluster size BY DESIGN one decade up; the production "
+                "path is q_semantic_dedup_autok (k='auto' + two-level "
+                "coarse→fine assignment), which is what a big corpus "
+                "should run. Planted perturbed copies provide "
+                "positives, as in q_dedup_embedding.",
     tags=("datapipe",),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = R.load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, k=SEMDEDUP_K, threshold=0.9)
+
+
+@register(
+    "q_semantic_dedup_autok",
+    oracle=f"""
+    WITH {SQL_VECS},
+    {SQL_PVECS},
+    prm AS (
+      SELECT least({SIM.SEMDEDUP_K_HI}, greatest({SIM.SEMDEDUP_K_LO},
+               CAST(ceil(n / {SIM.SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT))) AS k,
+             CAST(ceil(sqrt(least({SIM.SEMDEDUP_K_HI},
+               greatest({SIM.SEMDEDUP_K_LO},
+                 ceil(n / {SIM.SEMDEDUP_TARGET_CLUSTER}.0))))) AS BIGINT) AS kc,
+             {COARSE_N_PROBE} AS n_probe
+      FROM (SELECT count(*) AS n FROM pvecs)
+    ),
+    tinit AS (
+      SELECT cluster, c FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+               v AS c, p.k AS _k
+        FROM pvecs, prm p
+      ) WHERE cluster < _k
+    ),
+    {_sql_kmeans_assign_2l('pvecs', 'tinit', 'tasg1')},
+    tcents AS (
+      SELECT cluster, list(cval ORDER BY dim) AS c
+      FROM (
+        SELECT cluster, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
+        FROM tasg1, unnest(range(1, len(v) + 1)) AS r(i)
+        GROUP BY cluster, i)
+      GROUP BY cluster
+    ),
+    {_sql_kmeans_assign_2l('pvecs', 'tcents', 'tasg2')},
+    tlv AS (SELECT vec_id, CAST(cluster AS INT) AS label, v FROM tasg2),
+    tdup AS (
+      SELECT DISTINCT a.vec_id
+      FROM tlv a JOIN tlv b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+       AND round({_sql_cosine('a.v', 'b.v')}, 5) >= 0.9
+    )
+    SELECT tlv.vec_id AS vec_id, tlv.label, (tdup.vec_id IS NULL) AS keep
+    FROM tlv LEFT JOIN tdup ON tlv.vec_id = tdup.vec_id
+    """,
+    description="Semantic dedup, PRODUCTION variant: k='auto' "
+                "(≈ n/64, capped 4096 — similarity.auto_semdedup_k) with "
+                "the TWO-LEVEL (coarse→fine, IVF-style) centroid "
+                "assignment: kc = ceil(sqrt(k)) coarse cells from a mini "
+                "k-means over the fine centroids themselves, 2 probes "
+                "per vector, fine argmin only within probed cells — "
+                "n·O(sqrt(k)) per pass instead of q_semantic_dedup's "
+                "brute n·k (the measured organic-sf100 scale wall, "
+                "~25B distance evals at the k=4096 cap). Deterministic "
+                "end to end (rounded distances, index tiebreaks), so "
+                "the dynamic-k oracle mirrors it bit-for-bit. "
+                "clustering.py::_assign_two_level.",
+    tags=("datapipe",),
+)
+def q_semantic_dedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = R.load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, k="auto", threshold=0.9)
 
 
 @register(

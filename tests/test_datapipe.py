@@ -612,6 +612,77 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     assert labels > 16
 
 
+def test_coarse_k_is_exact_ceil_sqrt():
+    from real_big_data_project_spark.datapipe.clustering import coarse_k
+
+    assert coarse_k(1) == 1
+    assert coarse_k(4) == 2
+    assert coarse_k(5) == 3          # ceil(2.23) — not isqrt's floor
+    assert coarse_k(16) == 4
+    assert coarse_k(47) == 7
+    assert coarse_k(4096) == 64
+    assert coarse_k(4095) == 64
+
+
+def test_two_level_assignment_invariants(spark, sf_dir):
+    """The two-level (coarse→fine) assignment: (1) cardinality-preserving
+    — probing only NON-EMPTY coarse cells guarantees every vector gets a
+    fine candidate; (2) at pass 1 every seed vector lands in its OWN
+    cluster at distance 0 (its top-1 probe is provably the cell its
+    zero-distance centroid was filed under), preserving the exact path's
+    no-empty-seed-cluster property."""
+    from real_big_data_project_spark.datapipe.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 9  # non-square: exercises kc = ceil(sqrt(k)) = 3 with k % kc != 0
+    out = kmeans_assign(emb, k=k, n_assign=1, two_level=True).collect()
+    n_vec = emb.count()
+    assert len(out) == n_vec
+    by_id = {r.vec_id: r for r in out}
+    seed_ids = sorted(by_id)[:k]
+    for rank, vid in enumerate(seed_ids):
+        assert by_id[vid].cluster == rank and by_id[vid].dist == 0.0
+    assert all(0 <= r.cluster < k for r in out)
+
+
+def test_two_level_matches_exact_on_separated_blobs(spark):
+    """On well-separated blobs the coarse probe cannot mis-route, so the
+    two-level ASSIGNMENT must equal the brute-force one exactly — the
+    approximation only diverges near coarse-cell boundaries."""
+    from real_big_data_project_spark.datapipe.clustering import kmeans_assign
+
+    # 6 blobs at mutual distance >> intra-blob spread
+    rows = []
+    for b in range(6):
+        for j in range(20):
+            base = [100.0 * (b + 1) * ((d % 3) + 1) for d in range(8)]
+            rows.append((b * 20 + j, [x + (j % 5) * 0.01 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r.vec_id: r.cluster
+             for r in kmeans_assign(emb, k=6, n_assign=2).collect()}
+    twol = {r.vec_id: r.cluster
+            for r in kmeans_assign(emb, k=6, n_assign=2,
+                                   two_level=True).collect()}
+    assert exact == twol
+
+
+def test_semantic_dedup_autok_two_level_full_recall(spark, sf_dir):
+    """The production (k='auto', two-level) path still finds EVERY
+    planted perturbed copy: a copy is an ε-perturbation of its original,
+    so both compute near-identical coarse scores and co-assign; recall
+    against the planted positives is the operator's quality bar
+    (VERDICT r9 item 2)."""
+    from real_big_data_project_spark.datapipe.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, k="auto", threshold=0.9).collect()
+    n = emb.count()
+    planted = len([1 for r in emb.select("vec_id").collect() if r.vec_id % 2 == 0])
+    assert len(out) == n + planted          # cardinality preserved
+    dropped = sum(1 for r in out if not r.keep)
+    assert dropped == planted               # 100% recall, zero false drops
+
+
 def test_linreg_gd_converges_on_exact_linear_data(spark):
     """On exactly-linear data GD must drive mse monotonically toward 0
     and approach the true weights (datapipe/regression.py)."""
