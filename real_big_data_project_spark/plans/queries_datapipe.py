@@ -1129,7 +1129,16 @@ def _sql_kmeans_assign_2l(vec_src: str, cent_src: str, out: str,
     membership → per-vector top-n_probe NON-EMPTY coarse cells →
     fine argmin within probed cells. Every argmin is row_number over
     (rounded dist ASC, index ASC) — the same total ordering the Spark
-    side encodes into its long keys, so results are bit-equal."""
+    side encodes into its long keys, so results are bit-equal.
+
+    DuckDB-1.0 scale notes (the organic_sf10 oracle leg ENOSPC'd a
+    78 GB scratch without these): (1) multiply-referenced CTEs are
+    INLINED, not shared — `{out}_cc`/`{out}_cm` (and the callers'
+    cent_src/vec_src) are AS MATERIALIZED so the fine-assignment
+    pipeline runs once, not once per reference; (2) the fine argmin's
+    window sorts ONLY (vec_id, cluster, d) — the 64-dim vector is NOT
+    carried through the window payload (consumers rejoin it by id,
+    exactly like the Spark side's id-keyed vector rejoin)."""
     return f"""
     {out}_cs AS (
       SELECT coarse, c FROM (
@@ -1149,7 +1158,7 @@ def _sql_kmeans_assign_2l(vec_src: str, cent_src: str, out: str,
                                   ORDER BY d ASC, coarse ASC) AS rn
         FROM {out}_cad) WHERE rn = 1
     ),
-    {out}_cc AS (
+    {out}_cc AS MATERIALIZED (
       SELECT coarse, list(cval ORDER BY dim) AS c
       FROM (SELECT coarse, i AS dim, round(avg(c[i]), {CENTROID_ROUND}) AS cval
             FROM {out}_ca, unnest(range(1, len(c) + 1)) AS r(i)
@@ -1160,7 +1169,7 @@ def _sql_kmeans_assign_2l(vec_src: str, cent_src: str, out: str,
       SELECT f.cluster, u.coarse, {_sql_sq_l2('f.c', 'u.c')} AS d
       FROM {cent_src} f CROSS JOIN {out}_cc u
     ),
-    {out}_cm AS (
+    {out}_cm AS MATERIALIZED (
       SELECT cluster, coarse FROM (
         SELECT cluster, coarse,
                row_number() OVER (PARTITION BY cluster
@@ -1180,15 +1189,15 @@ def _sql_kmeans_assign_2l(vec_src: str, cent_src: str, out: str,
         FROM {out}_pbd, {prm} p) WHERE rn <= _np
     ),
     {out}_fd AS (
-      SELECT p.vec_id, w.v, m.cluster, {_sql_sq_l2('w.v', 'f.c')} AS d
+      SELECT p.vec_id, m.cluster, {_sql_sq_l2('w.v', 'f.c')} AS d
       FROM {out}_pb p
       JOIN {vec_src} w USING (vec_id)
       JOIN {out}_cm m ON p.coarse = m.coarse
       JOIN {cent_src} f ON m.cluster = f.cluster
     ),
-    {out} AS (
-      SELECT vec_id, v, cluster, d FROM (
-        SELECT vec_id, v, cluster, d,
+    {out} AS MATERIALIZED (
+      SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d ASC, cluster ASC) AS rn
         FROM {out}_fd) WHERE rn = 1
@@ -2978,24 +2987,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              {COARSE_N_PROBE} AS n_probe
       FROM (SELECT count(*) AS n FROM pvecs)
     ),
-    tinit AS (
+    mpvecs AS MATERIALIZED (SELECT vec_id, v FROM pvecs),
+    tinit AS MATERIALIZED (
       SELECT cluster, c FROM (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                v AS c, p.k AS _k
-        FROM pvecs, prm p
+        FROM mpvecs, prm p
       ) WHERE cluster < _k
     ),
-    {_sql_kmeans_assign_2l('pvecs', 'tinit', 'tasg1')},
-    tcents AS (
+    {_sql_kmeans_assign_2l('mpvecs', 'tinit', 'tasg1')},
+    tcents AS MATERIALIZED (
       SELECT cluster, list(cval ORDER BY dim) AS c
       FROM (
-        SELECT cluster, i AS dim, round(avg(v[i]), {CENTROID_ROUND}) AS cval
-        FROM tasg1, unnest(range(1, len(v) + 1)) AS r(i)
-        GROUP BY cluster, i)
+        SELECT a.cluster, i AS dim, round(avg(w.v[i]), {CENTROID_ROUND}) AS cval
+        FROM tasg1 a JOIN mpvecs w USING (vec_id),
+             unnest(range(1, len(w.v) + 1)) AS r(i)
+        GROUP BY a.cluster, i)
       GROUP BY cluster
     ),
-    {_sql_kmeans_assign_2l('pvecs', 'tcents', 'tasg2')},
-    tlv AS (SELECT vec_id, CAST(cluster AS INT) AS label, v FROM tasg2),
+    {_sql_kmeans_assign_2l('mpvecs', 'tcents', 'tasg2')},
+    tlv AS (
+      SELECT a.vec_id AS vec_id, CAST(a.cluster AS INT) AS label, w.v AS v
+      FROM tasg2 a JOIN mpvecs w USING (vec_id)
+    ),
     tdup AS (
       SELECT DISTINCT a.vec_id
       FROM tlv a JOIN tlv b

@@ -219,12 +219,20 @@ def run_single(name: str, want_oracle: bool) -> int:
     row["ratio"] = round(row["t_sf100"] / max(row["t_sf10"], 0.05), 1)
     if want_oracle and spec is not None and spec.oracle is not None:
         t0 = time.time()
-        res = check_query(spark, name, SF10)
+        try:
+            res = check_query(spark, name, SF10)
+            row["ok"] = bool(res.ok)
+            row["bit_equal"] = bool(res.values_bit_equal)
+            if not res.ok:
+                row["detail"] = res.detail[:300]
+        except Exception as exc:  # noqa: BLE001
+            # An oracle CRASH must not discard the timed legs (the first
+            # autok re-run lost a 30-min sf100 number to a DuckDB ENOSPC
+            # in the oracle phase). ok=False keeps the pick re-runnable
+            # under --resume and loud in the mismatch list.
+            row["ok"] = False
+            row["detail"] = f"oracle crashed: {type(exc).__name__}: {exc}"[:300]
         row["oracle_sf10_s"] = round(time.time() - t0, 2)
-        row["ok"] = bool(res.ok)
-        row["bit_equal"] = bool(res.values_bit_equal)
-        if not res.ok:
-            row["detail"] = res.detail[:300]
     if single_pass:
         import shutil
 
