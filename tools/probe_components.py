@@ -26,8 +26,13 @@ def main(sf_dir: str) -> int:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("probe-components")
-        .config("spark.sql.shuffle.partitions", "64")
+        # Match the sweep configuration the flagged ratio was recorded
+        # under (partitions track DATA: 512 initial + AQE coalesce --
+        # round 9's partitions-track-data lesson; at fixed 64 the probe
+        # would price this box's spill curve, not the sweep's plan).
+        .config("spark.sql.shuffle.partitions", "512")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "64g")
         .getOrCreate()
