@@ -21,8 +21,8 @@ The update pass explodes dimensions and runs ONE codegen'd avg aggregate
 (map-side partials). Per-iteration cost: one broadcast + one shuffle of
 k×dim aggregates, corpus touched twice. The per-candidate distance is an
 UNROLLED fixed-dim expression (codegen), not an interpreted HOF fold:
-the assignment evaluates it n·k times, and at the production SemDeDup k
-(≤4096) the interpreted evaluator — not the shuffle — was the plan cost.
+the assignment evaluates it n·k times, and at the round-9 SemDeDup cap
+(k=4096) the interpreted evaluator — not the shuffle — was the plan cost.
 The HOF form survives only as the dim-unknown fallback.
 """
 
@@ -46,7 +46,7 @@ def _sq_l2_fixed(a: str, b: str, dim: int) -> F.Column:
     """``_sq_l2`` unrolled over a known dimension: identical sequential
     accumulation order (bit-identical distances), but codegen'd instead
     of the interpreted HOF evaluator. The assignment pass evaluates this
-    n·k times — at the production k (auto_semdedup_k caps at 4096) the
+    n·k times — at the round-9 k cap (auto_semdedup_k then capped at 4096) the
     interpreted fold, not the shuffle, was the plan cost (8.2e9
     interpreted evaluations at the 2M-vector organic sf100 scale)."""
     acc: F.Column = F.lit(0.0)
@@ -117,7 +117,8 @@ def _coarse_quantize(cents: DataFrame, dim: int | None, kc: int):
     (membership (cluster, coarse), coarse_cents (coarse, c)).
 
     This is the coarse quantizer of the two-level assignment: the input
-    is k rows (k ≤ 4096 — metadata-sized relative to the corpus), so the
+    is k rows (k ≤ SEMDEDUP_K_HI = 65536 — metadata-sized relative to the
+    corpus), so the
     k×kc mini cross join is trivial next to the n·√k main passes it
     unlocks. Same determinism contract as the corpus-level k-means:
     seeds = the kc smallest-INDEX fine centroids, rounded-distance
@@ -151,7 +152,7 @@ def _assign_two_level(
     """(vec_id, v, cluster, dist): two-level (coarse→fine, IVF-style)
     nearest-centroid assignment — the n·O(√k) replacement for `_assign`'s
     brute n·k scan at the production SemDeDup k (VERDICT r9 item 2: the
-    k=4096 auto-cap made brute assignment ~25B distance evals at the
+    old k=4096 auto-cap made brute assignment ~25B distance evals at the
     3M-vector organic sf100 scale and timed out the sweep leg; SemDeDup
     itself assigns through faiss's coarse quantizer for the same reason).
 
@@ -246,7 +247,9 @@ def coarse_k(k: int) -> int:
     """ceil(sqrt(k)) — the coarse-quantizer size of the two-level
     assignment. Integer-exact (math.isqrt, no float sqrt) so the Python
     value always agrees with a SQL mirror's CAST(ceil(sqrt(k))) (double
-    sqrt cannot cross an integer boundary below k=4096)."""
+    sqrt cannot cross an integer boundary for k ≤ SEMDEDUP_K_HI = 65536:
+    doubles hold ≤2^53 integers exactly and IEEE sqrt is correctly
+    rounded)."""
     import math
 
     r = math.isqrt(max(k, 1))
@@ -273,7 +276,8 @@ def kmeans_assign(
     `two_level=True` swaps each brute n·k assignment pass for the
     coarse→fine `_assign_two_level` (kc = ceil(√k) coarse cells,
     `n_probe` probes): n·O(√k) per pass — the production path for
-    corpus-scaled k (SemDeDup's auto-k caps at 4096, where brute
+    corpus-scaled k (SemDeDup's auto-k caps at 65536; at the pre-round-10
+    4096 cap, already, brute
     assignment is the measured sf100 scale wall). The two-level result
     is a deterministic approximation of the brute argmin; the exact
     path remains the default for the small fixed-k analytics queries.

@@ -159,27 +159,37 @@ def label_propagation(
         .select("node", F.col("node").cast("long").alias("lbl"))
         .localCheckpoint()
     )
-    # Encoding-bound guards (ADVICE r9): the packed argmax silently
-    # corrupts if a label ≥ 2^32 (labels ARE node ids — initial and
-    # every adopted label comes from the id universe) or a neighbor
-    # count ≥ 2^31 (cnt·2^32 overflows BIGINT; cnt ≤ max degree ≤ |E|,
-    # so |E| < 2^31 is a sufficient — conservative — bound). Both
-    # frames are pinned, so each check is one cheap job; failing LOUD
-    # here beats a silently wrong community map.
+    # Encoding-bound guards (ADVICE r9/r10): the packed argmax silently
+    # corrupts if a label falls outside [0, 2^32-1] — labels ARE node
+    # ids (initial and every adopted label comes from the id universe),
+    # and a NEGATIVE id makes (_LPA_MASK - lbl) exceed the 32-bit label
+    # field just as surely as an id over the mask (realistic: xxhash64
+    # keys produce negative longs) — or if a per-(node,label) neighbor
+    # count ≥ 2^31 (cnt·2^32 overflows BIGINT). cnt is bounded by the
+    # max IN-degree, not |E| (round 10's |E| < 2^31 guard rejected any
+    # >2.1B-edge graph — exactly the billion-node scale the
+    # broadcast_nodes_max cutover exists to support). Both frames are
+    # pinned, so each check is one cheap job; failing LOUD here beats a
+    # silently wrong community map.
     stats = labels.agg(
-        F.max("lbl").alias("mx"), F.count("*").alias("n_nodes")
+        F.max("lbl").alias("mx"), F.min("lbl").alias("mn"),
+        F.count("*").alias("n_nodes")
     ).first()
-    if stats["mx"] is not None and stats["mx"] > _LPA_MASK:
+    if stats["mx"] is not None and (stats["mx"] > _LPA_MASK
+                                    or stats["mn"] < 0):
+        bad = stats["mx"] if stats["mx"] > _LPA_MASK else stats["mn"]
         raise ValueError(
-            f"label_propagation: node id {stats['mx']} exceeds the 2^32-1 "
+            f"label_propagation: node id {bad} outside the [0, 2^32-1] "
             "encoded-argmax label bound; remap node ids to a dense range "
             "first (operators/joins.py::surrogate_keys)"
         )
-    if edges.count() >= 2**31:
+    max_indeg = edges.groupBy(dst).count().agg(
+        F.max("count").alias("mx")).first()["mx"]
+    if max_indeg is not None and max_indeg >= 2**31:
         raise ValueError(
-            "label_propagation: edge count >= 2^31 could overflow the "
-            "encoded (cnt, label) BIGINT argmax; shard the graph or "
-            "widen the encoding"
+            f"label_propagation: max in-degree {max_indeg} >= 2^31 could "
+            "overflow the encoded (cnt, label) BIGINT argmax; shard the "
+            "hot node's edges or widen the encoding"
         )
     n_nodes = stats["n_nodes"]
     for _ in range(iters):

@@ -59,64 +59,64 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-10 prefix: nothing is pinned yet (new
-# round-10 queries get pinned when they register); the 26 remaining
-# r05-vintage rows lead (multimodal family, lang-id/text-stats, the r04
-# TPC-H analogues already cleared in r09), then r06-vintage fill — after
-# this gate no catalog query's latest green row predates r06.
-_ROTATION_VINTAGE = 9
-_PINNED: tuple[str, ...] = ('q_semantic_dedup_autok', 'q_bpe_encode', 'q_bpe_vocab', 'q_doc_tokens')
+# trusted to rotate).  Round-11 prefix: _PINNED is empty (no new or
+# output-changed queries yet this round — re-pin via gen_rotation argv if
+# any land); the 28 remaining r06-vintage rows lead (scan family, OHLCV,
+# bollinger, tick compression, TPC-H pricing-summary kin), then r08-vintage
+# fill — after this gate no catalog query's latest green row predates r08.
+_ROTATION_VINTAGE = 10
+_PINNED: tuple[str, ...] = ()
 _RISKIEST: tuple[str, ...] = (
-    "q_semantic_dedup_autok",  # never gated
-    "q_bpe_encode",  # last green r09
-    "q_bpe_vocab",  # last green r09
-    "q_doc_tokens",  # last green r09
-    "q_lang_id",  # last green r05
-    "q_market_share",  # last green r05
-    "q_multimodal_decode",  # last green r05
-    "q_multimodal_features",  # last green r05
-    "q_multimodal_frames",  # last green r05
-    "q_multimodal_meta",  # last green r05
-    "q_order_count_distribution",  # last green r05
-    "q_pandas_udf_norm",  # last green r05
-    "q_profit_by_nation_year",  # last green r05
-    "q_promo_revenue",  # last green r05
-    "q_qualified_suppliers",  # last green r05
-    "q_repetition_filter",  # last green r05
-    "q_sequence_packing",  # last green r05
-    "q_small_qty_revenue",  # last green r05
-    "q_source_divergence",  # last green r05
-    "q_stratified_sample",  # last green r05
-    "q_supplier_excl_count",  # last green r05
-    "q_temperature_mix",  # last green r05
-    "q_text_stats",  # last green r05
-    "q_top_revenue_supplier",  # last green r05
-    "q_top_terms_by_lang",  # last green r05
-    "q_unigram_surprisal",  # last green r05
-    "q_up_streaks",  # last green r05
-    "q_variant_extract",  # last green r05
-    "q_weighted_sample",  # last green r05
-    "q_zipf_fit",  # last green r05
-    "q_above_avg",  # last green r06
-    "q_anti_join_new_keys",  # last green r06
-    "q_array_ops",  # last green r06
-    "q_asof_join",  # last green r06
-    "q_broadcast_lookup",  # last green r06
-    "q_case_market_map",  # last green r06
-    "q_case_when_clamp",  # last green r06
-    "q_company_timeseries",  # last green r06
-    "q_counts",  # last green r06
-    "q_customer_revenue",  # last green r06
-    "q_daily_bars_fallback",  # last green r06
-    "q_dashboard_session",  # last green r06
-    "q_dedup_keys",  # last green r06
-    "q_event_transitions",  # last green r06
-    "q_exists_late_orders",  # last green r06
-    "q_filter_outliers",  # last green r06
-    "q_filter_positive",  # last green r06
-    "q_first_last_per_group",  # last green r06
-    "q_fuzzy_match",  # last green r06
-    "q_group_count",  # last green r06
+    "q_intersect_except",  # last green r06
+    "q_interval_join",  # last green r06
+    "q_isin_resolve",  # last green r06
+    "q_join_distinct_orderby",  # last green r06
+    "q_json_extract",  # last green r06
+    "q_lag_pct_change",  # last green r06
+    "q_minmax_range",  # last green r06
+    "q_null_profile",  # last green r06
+    "q_ohlcv_daily",  # last green r06
+    "q_partition_prune",  # last green r06
+    "q_prefix_normalize",  # last green r06
+    "q_pricing_summary",  # last green r06
+    "q_project_rename",  # last green r06
+    "q_range_window",  # last green r06
+    "q_regex_clean",  # last green r06
+    "q_regional_volume",  # last green r06
+    "q_rolling_bollinger",  # last green r06
+    "q_rollup",  # last green r06
+    "q_rowwise_stats",  # last green r06
+    "q_scan_csv",  # last green r06
+    "q_scan_parquet",  # last green r06
+    "q_scan_pickle",  # last green r06
+    "q_semi_join_orphans",  # last green r06
+    "q_surrogate_keys",  # last green r06
+    "q_tick_compression",  # last green r06
+    "q_token_budget_select",  # last green r06
+    "q_topk",  # last green r06
+    "q_topk_per_group",  # last green r06
+    "q_ann_bucket",  # last green r08
+    "q_ann_ivf",  # last green r08
+    "q_ann_recall",  # last green r08
+    "q_ann_recall_ivf",  # last green r08
+    "q_ann_recall_sq8",  # last green r08
+    "q_ann_topk",  # last green r08
+    "q_approx_distinct",  # last green r08
+    "q_catalog_tables",  # last green r08
+    "q_corpus_select",  # last green r08
+    "q_corpus_shard",  # last green r08
+    "q_corpus_shuffle",  # last green r08
+    "q_corr_stats",  # last green r08
+    "q_cube",  # last green r08
+    "q_daily_stats_table",  # last green r08
+    "q_datapipe_e2e",  # last green r08
+    "q_decontaminate",  # last green r08
+    "q_dedup_canonical",  # last green r08
+    "q_dedup_components",  # last green r08
+    "q_dedup_components_incremental",  # last green r08
+    "q_dedup_embedding",  # last green r08
+    "q_dedup_incremental",  # last green r08
+    "q_dedup_minhash_lsh",  # last green r08
 )
 
 

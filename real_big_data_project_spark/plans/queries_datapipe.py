@@ -3020,14 +3020,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tlv LEFT JOIN tdup ON tlv.vec_id = tdup.vec_id
     """,
     description="Semantic dedup, PRODUCTION variant: k='auto' "
-                "(≈ n/64, capped 4096 — similarity.auto_semdedup_k) with "
+                f"(≈ n/{SIM.SEMDEDUP_TARGET_CLUSTER}, capped "
+                f"{SIM.SEMDEDUP_K_HI} — similarity.auto_semdedup_k; the "
+                "cap was 4096 through round 9, raised so clusters stay "
+                "~64 and within-cluster scoring stays ~n·32 pairs) with "
                 "the TWO-LEVEL (coarse→fine, IVF-style) centroid "
                 "assignment: kc = ceil(sqrt(k)) coarse cells from a mini "
                 "k-means over the fine centroids themselves, 2 probes "
                 "per vector, fine argmin only within probed cells — "
                 "n·O(sqrt(k)) per pass instead of q_semantic_dedup's "
                 "brute n·k (the measured organic-sf100 scale wall, "
-                "~25B distance evals at the k=4096 cap). Deterministic "
+                "~25B distance evals at the old k=4096 cap). Deterministic "
                 "end to end (rounded distances, index tiebreaks), so "
                 "the dynamic-k oracle mirrors it bit-for-bit. "
                 "clustering.py::_assign_two_level.",

@@ -1069,6 +1069,13 @@ def test_label_propagation_rejects_out_of_bound_ids(spark):
     with pytest.raises(ValueError, match="2\\^32-1"):
         label_propagation(df, iters=1)
 
+    # NEGATIVE ids corrupt (_LPA_MASK - lbl) just as surely as ids over
+    # the mask — realistic, since xxhash64 graph keys produce negative
+    # longs (ADVICE r10).
+    neg = spark.createDataFrame([(-7, 3), (3, -7)], ["src", "dst"])
+    with pytest.raises(ValueError, match="2\\^32-1"):
+        label_propagation(neg, iters=1)
+
 
 def test_corpus_report_invariants(spark, sf_dir):
     from real_big_data_project_spark.datapipe.corpus import corpus_report

@@ -34,7 +34,7 @@ Pick notes:
   sweep_organic.py; components/canonical have no organic-scale mirror
   and are driver-gated at sf0.01.
 - q_semantic_dedup is priced as the PRODUCTION variant
-  q_semantic_dedup_autok (k='auto' ≈ n/64 capped 4096, TWO-LEVEL
+  q_semantic_dedup_autok (k='auto' ≈ n/64 capped 65536, TWO-LEVEL
   coarse→fine assignment — round 10): the catalog q_semantic_dedup pins
   k=16 for the quadratic-by-design exact path, and the round-9 record
   showed brute n·k assignment at the auto-cap timing out the sf100 leg
@@ -61,7 +61,8 @@ OUT = os.path.join(REPO, "_artifacts", "sweep_organic_sf100.json")
 RATIO_FLAG = 12.0
 # sf10 legs + sf100 warm + timed + sf10 oracle. Raised 5400 -> 10800 in
 # round 9: under honest noop forcing q_semantic_dedup_autok's sf100 leg
-# is dominated by the k-means assignment at the k=4096 auto-cap
+# was (round 9, pre-two-level) dominated by brute k-means assignment
+# at the then k=4096 auto-cap
 # (3M vectors × 4096 centroids × 2 passes ≈ 25B distance evaluations)
 # and legitimately runs beyond 90 min on this box — the old budget
 # recorded a timeout, not a number.
