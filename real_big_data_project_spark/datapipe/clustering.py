@@ -188,7 +188,11 @@ def _assign_two_level(
     # a corpus TakeOrdered) — unpinned, each mini-pass re-runs it.
     cents = cents.localCheckpoint(eager=False)
     membership, ccents = _coarse_quantize(cents, dim, kc)
-    pcc = ccents.join(membership.select("coarse").distinct(), "coarse")
+    # Both sides are ≤ kc rows, but both descend from aggregates so
+    # Catalyst can't size them — without the hint this planned as a
+    # SortMergeJoin (two shuffles of metadata-sized frames).
+    pcc = ccents.join(
+        F.broadcast(membership.select("coarse").distinct()), "coarse")
     sq = _sq_l2_fixed("v", "c", dim) if dim else _sq_l2("v", "c")
     scale = 10 ** DIST_ROUND
     ckey = (

@@ -687,6 +687,55 @@ def test_semantic_dedup_autok_two_level_full_recall(spark, sf_dir):
     assert dropped == planted               # 100% recall, zero false drops
 
 
+def test_two_level_plan_shape_at_cap_scale(spark):
+    """Plan-shape pin at k = SEMDEDUP_K_HI (VERDICT r10 item 7): the
+    binding constraints of the 65536-cap second-wall fix are the
+    fine-centroid broadcast (65536×64 doubles ≈ 33 MB) and the n·kc
+    coarse-probe aggregate at kc = 256. Pin them with a synthetic
+    centroid frame at the LIVE cap and a tiny vector set:
+
+    - both candidate joins are BROADCAST (the crossJoin against coarse
+      cells and the fine-candidate join on `coarse`) — a SortMergeJoin
+      here would shuffle the corpus on a hot cell;
+    - the per-vector aggregates are hash-based (ObjectHashAggregate for
+      the collect_list probe top-p), NEVER SortAggregate — the round-9
+      SortAggregate/ENOSPC lesson;
+    - execution at the cap completes with every vector assigned exactly
+      once (the broadcast actually fits and probing non-empty cells
+      drops nothing)."""
+    from real_big_data_project_spark.datapipe.clustering import (
+        _assign_two_level, coarse_k)
+    from real_big_data_project_spark.datapipe.similarity import SEMDEDUP_K_HI
+
+    k, dim = SEMDEDUP_K_HI, 64
+    # k synthetic fine centroids on a deterministic lattice (no k-means
+    # needed — the pin is about plan shape at this k, not quality).
+    cents = spark.range(k).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.col("id") % 251 + d) * 0.25,
+        ).alias("c"),
+    )
+    vecs = spark.range(96).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.col("id") % 251 + d) * 0.25 + 0.001,
+        ).alias("v"),
+    )
+    out = _assign_two_level(vecs, cents, dim, k=k, kc=coarse_k(k))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" in plan          # the collect_list top-p
+    assert "SortMergeJoin" not in plan            # candidates never shuffle
+    assert ("BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan)
+    rows = out.collect()
+    assert len(rows) == 96                        # cardinality preserved
+    assert all(0 <= r.cluster < k for r in rows)
+
+
 def test_linreg_gd_converges_on_exact_linear_data(spark):
     """On exactly-linear data GD must drive mse monotonically toward 0
     and approach the true weights (datapipe/regression.py)."""

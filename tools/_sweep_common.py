@@ -42,6 +42,7 @@ def drive_picks(
     summary_extra: dict | None = None,
     sf1_label: str = "sf1",
     resume: bool = False,
+    carried_require: tuple[str, ...] = (),
 ) -> int:
     """Run every (name, want_oracle) pick as `script --single name 0|1`,
     collect rows, flag ratios above `ratio_flag`, write the record, and
@@ -73,6 +74,11 @@ def drive_picks(
         carried = {
             n: r for n, r in prior.items()
             if n in names and "error" not in r and r.get("ok") is not False
+            # a row from a PRIOR protocol vintage (missing a column the
+            # current protocol emits) re-runs instead of being carried —
+            # a resumed sweep must not mix timing protocols in one record
+            # (VERDICT r9 Wrong 1)
+            and all(k in r for k in carried_require)
         }
 
     def _write(complete: bool) -> dict:

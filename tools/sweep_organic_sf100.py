@@ -7,14 +7,20 @@ bench scale on a corpus whose TRUE near-duplicate pairs grow linearly
 with rows. This harness pushes the heaviest of those plans one MORE
 decade — the difference between "linear so far" and "linear" for the
 family whose candidate generation is the 100 TB story. Same isolation
-as the other sweeps: one subprocess (fresh JVM) per pick and an UNTIMED
-warm pass per (query, scale) leg. The sf10 leg then takes best-of-2
-timed passes (seconds-long legs — one GC pause can dominate a single
-sample); the sf100 leg takes ONE timed pass: these legs run minutes, so
-GC noise amortizes below the ratio's resolution, the warm pass has
-already separated steady-state plan cost from first-use costs, and a
-second multi-minute pass per pick would double a multi-hour sweep for
-no information. ratio = t_sf100 / t_sf10, flagged above 12 for 10x rows.
+as the other sweeps: one subprocess (fresh JVM) per pick.
+
+Warmth protocol (MATCHED, round 11 — VERDICT r10 item 6): every leg
+first runs a cheap fixture-touching scan (JITs the parquet/vector read
+path without executing the pick's plan), then the sf100 leg takes ONE
+plan-cold timed pass (a warm+timed double-run overlaps two ~60 GB
+shuffle footprints and ENOSPC'd scratch twice) and the sf10 leg takes
+THREE: pass 0 timed cold (t_sf10_cold — the state-matched denominator),
+passes 1-2 the warm best-of-2 (t_sf10, the round-9/10 records' column;
+seconds-long legs — one GC pause can dominate a single sample). The
+flag-feeding ratio = t_sf100 / t_sf10_cold compares like with like;
+ratio_vs_warm_sf10 retains the old definition. Round 10's components
+probe measured the old warm/cold asymmetry at ~x1.4 — big enough to
+push a linear plan over the x12 flag line on its own.
 
 Prerequisite (round 9): the organic corpora are generated with the
 4096-word vocabulary — see make_organic_corpus.py's round-9 note. Under
@@ -140,16 +146,26 @@ def run_single(name: str, want_oracle: bool) -> int:
     # price block-manager residency, not the plan (round-9 noop fix).
     single_pass = name == "q_semantic_dedup_autok"
     row: dict = {}
-    for sf_dir, key, passes in ((SF10, "t_sf10", 1 if single_pass else 2),
+    # sf10 multi-pass picks run 3 passes: pass 0 is the TIMED cold pass
+    # (the matched denominator), passes 1-2 are the warm best-of-2.
+    for sf_dir, key, passes in ((SF10, "t_sf10", 1 if single_pass else 3),
                                 (SF100, "t_sf100", 1)):
-        # Warm pass: fixtures + JIT. The sf100 leg SKIPS it — the sf10
-        # legs just JIT'd the identical plan, a minutes-long leg
-        # amortizes any residual first-use cost below the ratio's
-        # resolution, and the heavy legs write ~60 GB of shuffle per
-        # execution whose files ContextCleaner frees asynchronously on
-        # JVM GC: a warm+timed sf100 double-run overlaps two ~60 GB
-        # footprints and ENOSPC'd this machine's scratch twice (the
-        # System.gc() between passes did not flush in time).
+        # WARMTH PROTOCOL (VERDICT r10 item 6): the flag-feeding ratio
+        # must compare like with like. The sf100 leg stays SINGLE-PASS
+        # PLAN-COLD — a warm+timed double-run overlaps two ~60 GB
+        # shuffle footprints (ContextCleaner frees async on JVM GC) and
+        # ENOSPC'd this machine's scratch twice — so the DENOMINATOR is
+        # matched instead: the sf10 leg's FIRST pass is now TIMED and
+        # recorded as t_sf10_cold (same state as the sf100 pass: fresh
+        # JVM, fixtures present, read path warmed by the fixture scan
+        # below, the pick's own plan cold), and `ratio` is computed
+        # cold/cold. The warm best-of-passes number and its ratio are
+        # RETAINED as t_sf10 / ratio_vs_warm_sf10 — the round-9/10
+        # records' column — for cross-round continuity. The components
+        # probe (PERF_NOTES round 10) measured the old warm/cold
+        # asymmetry at ~x1.4 on exactly this corpus; computing the flag
+        # from matched ratios stops a protocol artifact from presenting
+        # as superlinearity.
         sink = os.path.join(REPO, "_artifacts", f"_sweep_tmp_{name}")
 
         def _force(df):
@@ -171,29 +187,32 @@ def run_single(name: str, want_oracle: bool) -> int:
             else:
                 df.write.format("noop").mode("overwrite").save()
 
-        if sf_dir is not SF100 and not single_pass:
-            _force(builder(spark, sf_dir))
-            spark._jvm.System.gc()
-        elif single_pass:
-            # ADVICE r9: a single-pass pick timed with NO warm pass at all
-            # folds fixture-build + first-use JIT into its number — warm
-            # with a cheap same-fixture plan (full scan + array walk JITs
-            # the parquet/vector read path without touching the pick's
-            # localCheckpoint-accumulating plan). Residual JIT of the
-            # pick's own generated code remains in the timed number; the
-            # record notes it.
-            from pyspark.sql import functions as SF
+        # Every leg, every pick: a cheap fixture-touching scan first
+        # (full scan + array walk JITs the parquet/vector read path
+        # without executing the pick's own plan — ADVICE r9 introduced
+        # this for single-pass picks; uniform now so "plan-cold" means
+        # the same thing on both legs). Residual JIT of the pick's own
+        # generated code remains in every cold number symmetrically.
+        from pyspark.sql import functions as SF
 
-            from real_big_data_project_spark.sources import registry as R
+        from real_big_data_project_spark.sources import registry as R
 
-            R.load_table(spark, sf_dir, "embeddings").select(
-                SF.sum(SF.size("embedding"))).collect()
+        R.load_table(spark, sf_dir, "documents").select(
+            SF.sum(SF.length("text"))).collect()
+        R.load_table(spark, sf_dir, "embeddings").select(
+            SF.sum(SF.size("embedding"))).collect()
         best = None
-        for _ in range(passes):
+        for i in range(passes):
             t0 = time.time()
             _force(builder(spark, sf_dir))
             t = time.time() - t0
-            best = t if best is None else min(best, t)
+            if i == 0 and key == "t_sf10":
+                # first-in-JVM execution — the matched-warmth denominator
+                row["t_sf10_cold"] = round(t, 2)
+            if i > 0 or passes == 1:
+                # warm stat: best of the non-cold passes (single-pass
+                # picks have only the cold pass — t_sf10 == t_sf10_cold)
+                best = t if best is None else min(best, t)
             spark._jvm.System.gc()
             time.sleep(2)  # let ContextCleaner drain before the next pass
         # Untimed accounting pass: rows, plus dup recall where the result
@@ -217,7 +236,12 @@ def run_single(name: str, want_oracle: bool) -> int:
             n = res.count()
         row[key] = round(best, 2)
         row[f"rows_{leg}"] = n
-    row["ratio"] = round(row["t_sf100"] / max(row["t_sf10"], 0.05), 1)
+    # `ratio` (the flag-feeding column in _sweep_common) is MATCHED
+    # warmth: cold sf100 / cold sf10. The warm-denominator ratio — the
+    # round-9/10 records' definition — is retained beside it.
+    row["ratio"] = round(row["t_sf100"] / max(row["t_sf10_cold"], 0.05), 1)
+    row["ratio_vs_warm_sf10"] = round(
+        row["t_sf100"] / max(row["t_sf10"], 0.05), 1)
     if want_oracle and spec is not None and spec.oracle is not None:
         t0 = time.time()
         try:
@@ -256,12 +280,19 @@ def main(resume: bool = False) -> int:
             "scales": "organic_sf10 (500k docs / 200k emb) -> "
                       "organic_sf100 (5M docs / 2M emb)",
             "oracles": "exact/minhash/ngram/semantic_autok at organic_sf10",
-            "single_pass_note": "single-pass picks warm via a cheap "
+            "warmth_protocol": "MATCHED (round 11): ratio = cold sf100 / "
+                               "cold sf10 (both first-in-JVM after a "
+                               "fixture-touching read-path scan); "
+                               "ratio_vs_warm_sf10 retains the old "
+                               "warm-denominator definition; t_sf10 is "
+                               "the warm best-of-2",
+            "single_pass_note": "every leg warms via a cheap "
                                 "fixture-touching scan; residual JIT of "
                                 "the pick's own generated code remains "
-                                "in its timed number (ADVICE r9)",
+                                "in every cold number symmetrically",
         },
         sf1_label="sf10",
+        carried_require=("t_sf10_cold",),
     )
 
 
