@@ -536,6 +536,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster: int = SEMDEDUP_TARGET_CLUSTER,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embeddings with the engine's own
@@ -563,8 +564,13 @@ def semantic_dedup(
     dim = infer_dim(emb, vec_col)
     two_level = False
     if k == "auto":
-        # one count job — an offline dedup run knows its corpus size anyway
-        k = auto_semdedup_k(vecs.count())
+        # one count job — an offline dedup run knows its corpus size
+        # anyway. `target_cluster` is the recall-vs-cost dial: smaller
+        # clusters cut the quadratic within-cluster scoring (~n·target/2
+        # pairs) but split more true near-dup pairs across fine-cluster
+        # boundaries (measured curve: tools/semdedup_recall_dial.py →
+        # PERF_NOTES "SemDeDup recall dial").
+        k = auto_semdedup_k(vecs.count(), target_cluster=target_cluster)
         # Corpus-scaled k takes the two-level (coarse→fine) assignment:
         # brute n·k at the 4096 auto-cap was the measured sf100 scale
         # wall (~25B distance evals, sweep timeout — VERDICT r9 item 2);
