@@ -20,6 +20,21 @@ from pyspark.sql import SparkSession
 # with the right divisor either way. Runtime-settable.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# ObjectHashAggregate (collect_set/collect_list — the shingle-set builds
+# every text-dedup plan shares) falls back to SORT-based aggregation after
+# this many distinct keys per task; Spark's default of 128 makes corpus-
+# scale set-builds permanently sort+spill. Measured on the ngram doc-key
+# shingle build at organic_sf10 (500k docs, fresh JVM per leg, executor
+# CPU from the status API): default 128 → 3361 CPU-s with 37.6 GB spilled;
+# raised → 1833 CPU-s, ZERO spill (~1.9x); at organic_sf100 the same
+# fallback spilled 0.5 TB (memory) / 29 GB (disk) per pass. 2^18 keys
+# bounds a pathological task's hash map at ~256 MB for fat set rows while
+# sitting far above the per-task key counts AQE's 64 MB advisory target
+# yields at ANY corpus scale (~15k keys/task at both measured decades —
+# partition count grows with the data, per-task keys stay flat).
+OBJ_AGG_FALLBACK = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+OBJ_AGG_FALLBACK_KEYS = str(1 << 18)
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -44,6 +59,7 @@ def get_spark(app_name: str = "real_big_data_project_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
+        .config(OBJ_AGG_FALLBACK, OBJ_AGG_FALLBACK_KEYS)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -86,3 +102,4 @@ def ensure_session_confs(spark: SparkSession) -> None:
     the streaming readers) funnels through."""
     require_min_spark(spark)
     spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set(OBJ_AGG_FALLBACK, OBJ_AGG_FALLBACK_KEYS)

@@ -64,7 +64,9 @@ def run_stage(sf_dir: str, stage: str) -> int:
         .config("spark.sql.shuffle.partitions", "512")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI stays ON here (sweeps disable it): the status REST API is
+        # this tool's primary instrument — see _metrics_snapshot.
+        .config("spark.ui.enabled", "true")
         .config("spark.driver.memory", "64g")
         .getOrCreate()
     )
@@ -113,11 +115,49 @@ def run_stage(sf_dir: str, stage: str) -> int:
     # the sweep record (candidates/pairs measured exactly linear:
     # 332,352 -> 3,323,879 and 332,347 -> 3,323,459) — not worth a
     # second corpus-scale execution per stage here.
+    #
+    # PRIMARY INSTRUMENT: executor CPU time + shuffle/spill bytes from
+    # the status REST API, snapshot-diffed around the timed pass. The
+    # third protocol cut, after two wall-clock cuts both produced
+    # physically impossible records on this box (stage B timing ABOVE
+    # the full query that contains it; a strict-subset plan above its
+    # superset) — the hypervisor de-schedules our vCPUs in multi-minute
+    # bursts (calibrate_box measured 8-17x probe drift), and a burst
+    # inside any one leg poisons every wall-clock comparison. CPU time
+    # does not accumulate while a vCPU is de-scheduled and is additive
+    # across plans, so per-stage decade ratios AND the C - A - 2B
+    # residual survive contention; spill bytes directly test the
+    # "doc-key shuffle spill curve" hypothesis the flag named.
+    pre = _metrics_snapshot(spark)
     t0 = time.time()
     noop(build())
     row: dict = {"stage": stage, "t_s": round(time.time() - t0, 2)}
+    post = _metrics_snapshot(spark)
+    for k in post:
+        row[k] = round(post[k] - pre[k], 2)
     print(json.dumps(row))
     return 0
+
+
+def _metrics_snapshot(spark) -> dict:
+    """Totals over completed stages from the status REST API (v1)."""
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    data = json.load(urllib.request.urlopen(url, timeout=30))
+    tot = {"cpu_s": 0.0, "run_s": 0.0, "input_gb": 0.0,
+           "shuffle_write_gb": 0.0, "shuffle_read_gb": 0.0,
+           "spill_mem_gb": 0.0, "spill_disk_gb": 0.0}
+    for st in data:
+        tot["cpu_s"] += st.get("executorCpuTime", 0) / 1e9
+        tot["run_s"] += st.get("executorRunTime", 0) / 1e3
+        tot["input_gb"] += st.get("inputBytes", 0) / 1e9
+        tot["shuffle_write_gb"] += st.get("shuffleWriteBytes", 0) / 1e9
+        tot["shuffle_read_gb"] += st.get("shuffleReadBytes", 0) / 1e9
+        tot["spill_mem_gb"] += st.get("memoryBytesSpilled", 0) / 1e9
+        tot["spill_disk_gb"] += st.get("diskBytesSpilled", 0) / 1e9
+    return tot
 
 
 def _probe() -> float:
@@ -183,21 +223,24 @@ def main(sf10: str, sf100: str) -> int:
                 out["stages"][stage] = row
                 print(json.dumps(out))
                 return 1
-            row[f"t_{scale}_s"] = r["t_s"]
-            if "n_rows" in r:
-                row[f"n_{scale}"] = r["n_rows"]
-        row["ratio"] = round(row["t_sf100_s"] / row["t_sf10_s"], 2)
+            for k, v in r.items():
+                if k != "stage":
+                    row[f"{scale}_{k}"] = v
+        row["cpu_ratio"] = round(row["sf100_cpu_s"] / row["sf10_cpu_s"], 2)
+        row["wall_ratio"] = round(row["sf100_t_s"] / row["sf10_t_s"], 2)
         out["stages"][stage] = row
         print(f"stage {stage} ({label}): {row}", flush=True)
     st = out["stages"]
     for scale in ("sf10", "sf100"):
-        out[f"residual_joins_{scale}_s"] = round(
-            st["c"][f"t_{scale}_s"] - st["a"][f"t_{scale}_s"]
-            - 2 * st["b"][f"t_{scale}_s"], 2)
-    out["note"] = ("per-stage ratios are the contention-robust signal; "
-                   "the additive residuals compare stages run in "
-                   "DIFFERENT windows — read them against the probe "
-                   "columns")
+        out[f"residual_joins_{scale}_cpu_s"] = round(
+            st["c"][f"{scale}_cpu_s"] - st["a"][f"{scale}_cpu_s"]
+            - 2 * st["b"][f"{scale}_cpu_s"], 2)
+    out["note"] = ("cpu_s (executor CPU, additive, immune to vCPU "
+                   "de-scheduling) carries the attribution: per-stage "
+                   "cpu_ratio across the decade + the C - A - 2B "
+                   "residual per scale; wall seconds and probes are "
+                   "kept to show the contention the CPU columns factor "
+                   "out")
     print(json.dumps(out))
     with open(os.path.join(REPO, "_artifacts", "diag_ngram.json"),
               "w") as fh:
