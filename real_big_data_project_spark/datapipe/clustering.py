@@ -49,6 +49,16 @@ def _sq_l2_fixed(a: str, b: str, dim: int) -> F.Column:
     n·k times — at the round-9 k cap (auto_semdedup_k then capped at 4096) the
     interpreted fold, not the shuffle, was the plan cost (8.2e9
     interpreted evaluations at the 2M-vector organic sf100 scale)."""
+    # One-call F.expr parse for plain column names: the py4j loop costs
+    # ~260 round trips (~0.7 s measured) per instantiation and the
+    # two-level k-means instantiates this tree six times per query —
+    # see functions/vectors.py::dot_fixed. Identical parsed tree.
+    if isinstance(a, str) and isinstance(b, str):
+        terms = "".join(
+            f" + ((`{a}`[{i}] - `{b}`[{i}]) * (`{a}`[{i}] - `{b}`[{i}]))"
+            for i in range(dim)
+        )
+        return F.expr(f"0.0D{terms}")
     acc: F.Column = F.lit(0.0)
     for i in range(dim):
         d = F.col(a)[i] - F.col(b)[i]
@@ -58,7 +68,8 @@ def _sq_l2_fixed(a: str, b: str, dim: int) -> F.Column:
 
 def _assign(vecs: DataFrame, cents: DataFrame,
             dim: int | None = None,
-            n_clusters: int | None = None) -> DataFrame:
+            n_clusters: int | None = None,
+            attach_v: bool = True) -> DataFrame:
     """(vec_id, v, cluster, dist): nearest centroid per vector — broadcast
     cross join (k rows per vector), rounded-distance argmin, cluster-index
     tiebreak.
@@ -86,7 +97,7 @@ def _assign(vecs: DataFrame, cents: DataFrame,
     )
     if not n_clusters:
         best = F.min(F.struct("dist", "cluster", "v")).alias("_b")
-        return (
+        out = (
             scored.groupBy("vec_id")
             .agg(best)
             .select(
@@ -95,6 +106,7 @@ def _assign(vecs: DataFrame, cents: DataFrame,
                 F.col("_b.dist").alias("dist"),
             )
         )
+        return out.select("vec_id", "cluster", "dist") if not attach_v else out
     scale = 10 ** DIST_ROUND
     mult = int(n_clusters)
     key = (F.round(F.col("dist") * scale).cast("long") * mult
@@ -109,6 +121,15 @@ def _assign(vecs: DataFrame, cents: DataFrame,
             (F.expr(f"_k div {mult}").cast("double") / scale).alias("dist"),
         )
     )
+    if not attach_v:
+        # FINAL-pass form (round 11): the argmin rows already carry every
+        # output column; the id-keyed join back to `vecs` exists only to
+        # re-attach `v` for the next centroid update. kmeans_assign's
+        # callers re-join vectors by id themselves, so the final pass
+        # skipping the join removes one id-keyed shuffle join of two
+        # corpus-sized frames per query with rows unchanged (ids is
+        # exactly one row per vec_id either way).
+        return ids.select("vec_id", "cluster", "dist")
     return ids.join(vecs, "vec_id").select("vec_id", "v", "cluster", "dist")
 
 
@@ -133,8 +154,8 @@ def _coarse_quantize(cents: DataFrame, dim: int | None, kc: int):
         "cluster", F.col("v").alias("c")
     )
     asg = _assign(cvecs, cc, dim, n_clusters=kc)
-    cc = _update(asg)
-    asg = _assign(cvecs, cc, dim, n_clusters=kc)
+    cc = _update(asg, dim)
+    asg = _assign(cvecs, cc, dim, n_clusters=kc, attach_v=False)
     membership = asg.select(
         F.col("vec_id").alias("cluster"), F.col("cluster").cast("int").alias("coarse")
     )
@@ -148,6 +169,7 @@ def _assign_two_level(
     k: int,
     kc: int,
     n_probe: int = COARSE_N_PROBE,
+    attach_v: bool = True,
 ) -> DataFrame:
     """(vec_id, v, cluster, dist): two-level (coarse→fine, IVF-style)
     nearest-centroid assignment — the n·O(√k) replacement for `_assign`'s
@@ -229,12 +251,32 @@ def _assign_two_level(
             (F.expr(f"_k div {mult}").cast("double") / scale).alias("dist"),
         )
     )
+    if not attach_v:
+        # Same final-pass contraction as `_assign`: skip the id-keyed
+        # re-attach join when no later update pass needs the vector.
+        return ids.select("vec_id", "cluster", "dist")
     return ids.join(vecs, "vec_id").select("vec_id", "v", "cluster", "dist")
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """(cluster, c): per-dimension mean of the members, rounded — dims
-    exploded into one hash aggregate, arrays rebuilt in dim order."""
+def _update(assigned: DataFrame, dim: int | None = None) -> DataFrame:
+    """(cluster, c): per-dimension mean of the members, rounded.
+
+    With a known dimension this is ONE codegen'd hash aggregate straight
+    to the centroid array — ``array(round(avg(v[0]), dp), ...)`` — i.e.
+    one exchange of k×dim partials and no row explosion (round 11; guide
+    §2.3 "aggregate before you shuffle"). The explode form it replaces
+    shuffled an n×dim row stream through TWO exchanges ((cluster, dim)
+    partial means, then collect_list+array_sort per cluster) — at corpus
+    scale that is a 64× larger shuffle for the same k×dim result. The
+    per-(cluster, dim) mean sums the identical value multiset either
+    way and is rounded to CENTROID_ROUND before use, the same tolerance
+    contract that already absorbs engine-order differences; the
+    dim-unknown fallback keeps the explode shape."""
+    if dim:
+        arr = ", ".join(
+            f"round(avg(`v`[{i}]), {CENTROID_ROUND})" for i in range(dim)
+        )
+        return assigned.groupBy("cluster").agg(F.expr(f"array({arr})").alias("c"))
     per_dim = (
         assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster", "dim")
@@ -268,6 +310,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     two_level: bool = False,
     n_probe: int = COARSE_N_PROBE,
+    dim: int | None = None,
 ) -> DataFrame:
     """Run Lloyd's k-means and return the final assignment
     (vec_id, cluster, dist). `n_assign` assignment passes with
@@ -289,27 +332,32 @@ def kmeans_assign(
     from ..functions.vectors import infer_dim
 
     vecs = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
-    dim = infer_dim(vecs, "v")  # one LIMIT-1 job; unlocks codegen distances
+    if dim is None:
+        dim = infer_dim(vecs, "v")  # one LIMIT-1 job; unlocks codegen distances
     seeds = vecs.orderBy("vec_id").limit(k)  # TakeOrdered — distributed
     sw = Window.orderBy("vec_id")  # k rows only: the global window is safe
     cents = seeds.withColumn("cluster", F.row_number().over(sw) - 1).select(
         "cluster", F.col("v").alias("c")
     )
+    # The LAST pass skips the id-keyed `v` re-attach join (attach_v=False):
+    # only a following `_update` needs the vector, and callers re-join
+    # vectors by id themselves — one corpus-sized shuffle join less.
     if two_level:
         kc = coarse_k(k)
 
-        def _pass(c: DataFrame) -> DataFrame:
-            return _assign_two_level(vecs, c, dim, k, kc, n_probe=n_probe)
+        def _pass(c: DataFrame, last: bool) -> DataFrame:
+            return _assign_two_level(vecs, c, dim, k, kc, n_probe=n_probe,
+                                     attach_v=not last)
 
     else:
 
-        def _pass(c: DataFrame) -> DataFrame:
-            return _assign(vecs, c, dim, n_clusters=k)
+        def _pass(c: DataFrame, last: bool) -> DataFrame:
+            return _assign(vecs, c, dim, n_clusters=k, attach_v=not last)
 
-    assigned = _pass(cents)
-    for _ in range(n_assign - 1):
-        cents = _update(assigned)
-        assigned = _pass(cents)
+    assigned = _pass(cents, n_assign == 1)
+    for i in range(n_assign - 1):
+        cents = _update(assigned, dim)
+        assigned = _pass(cents, i == n_assign - 2)
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )

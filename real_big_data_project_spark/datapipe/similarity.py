@@ -87,8 +87,16 @@ def _resolve_dims(bucket_dims, emb: DataFrame, id_col: str) -> list[int]:
 
 
 def as_double(col: Column | str) -> Column:
+    """array<float> → array<double>, as a codegen'd Cast (round 11): the
+    previous ``transform(c, x -> cast(x))`` is a CodegenFallback
+    higher-order function — interpreted per ROW on every vector path —
+    where Cast over an array participates in whole-stage codegen, and
+    SimplifyCasts removes it outright when the input is already
+    array<double> (the k-means path re-deriving `v` from a pre-cast
+    frame). float→double widening is exact, so values are bit-identical
+    either way."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -220,6 +228,99 @@ def ann_bucket_topk(
     return _topk_per_query(scored, k)
 
 
+def ann_bucket_recall_sweep(
+    emb: DataFrame,
+    query_ids: list[int],
+    truth: DataFrame,
+    k: int = 5,
+    bucket_dims: list[int] | None = None,
+    n_probes: tuple[int, ...] = (1, 2),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH recall@k at SEVERAL probe settings from ONE corpus scan —
+    (query_id, n_true, recall_p{p}...) against exact ground truth
+    (round 11; guide §2.4 "remove shuffles outright").
+
+    The q_ann_recall builder previously ran ``ann_bucket_topk`` once per
+    setting: two identical corpus scans + bucket joins + top-k windows +
+    recall joins for two numbers. Same one-window trick as
+    ``ann_ivf_recall_sweep``: scan once at max(n_probes) with each
+    candidate carrying the rank of the probe that found it (1 = the
+    query's own cell, 2 = its least-confident bit-flip cell, ... —
+    ``probe_buckets`` order), and the n_probe=p top-k is the candidate
+    set restricted to probe_rank ≤ p, ranked within the subset by a
+    conditional running count over one (sim DESC, neighbor_id ASC)
+    window. A (query, neighbor) pair matches exactly one probed cell
+    (probe cells are pairwise distinct), so the restriction IS the
+    smaller setting's candidate set and the subset rank reproduces its
+    row_number — results bit-equal to the per-setting runs."""
+    p_max = max(n_probes)
+    dims = _resolve_dims(bucket_dims, emb, id_col)
+    dim = infer_dim(emb, vec_col)
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", sign_bucket("v", dims)).withColumn(
+        "nv", _norm("v", dim)
+    )
+    q = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("qn"),
+            F.posexplode(probe_buckets("v", dims, p_max)).alias(
+                "_p0", "qbucket"
+            ),
+        )
+        .select("query_id", "qv", "qn",
+                (F.col("_p0") + 1).alias("probe_rank"), "qbucket")
+    )
+    sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
+    scored = vecs.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", "probe_rank",
+             F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    run_w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_top = [
+        (
+            (F.col("probe_rank") <= p)
+            & (
+                F.sum(
+                    F.when(F.col("probe_rank") <= p, 1).otherwise(0)
+                ).over(run_w)
+                <= k
+            )
+        )
+        .cast("int")
+        .alias(f"in_p{p}")
+        for p in n_probes
+    ]
+    hits = (
+        scored.select("query_id", "neighbor_id", *in_top)
+        .filter(sum(F.col(f"in_p{p}") for p in n_probes) > 0)
+    )
+    recalls = [
+        F.round(
+            F.sum(F.coalesce(F.col(f"in_p{p}"), F.lit(0))) / F.count("*"),
+            SIM_ROUND,
+        ).alias(f"recall_p{p}")
+        for p in n_probes
+    ]
+    return (
+        truth.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_true"), *recalls)
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """(query_id, n_true, recall): fraction of the exact top-k actually
     returned by the approximate index. Denominator is the exact result's
@@ -273,11 +374,25 @@ def _with_lists(
     )
 
 
-def _centroids(vecs: DataFrame) -> DataFrame:
+def _centroids(vecs: DataFrame, dim: int | None = None) -> DataFrame:
     """(label, centroid) — elementwise mean of each inverted list's
-    members from a (label, v) frame. Dims exploded → one codegen'd avg
-    aggregate → array rebuilt in dim order. Centroids are ROUNDED so the
-    probe-selection argmax is reproducible across engines."""
+    members from a (label, v) frame. Centroids are ROUNDED so the
+    probe-selection argmax is reproducible across engines.
+
+    With a known dimension this is ONE hash aggregate straight to the
+    centroid array (``array(round(avg(v[i]), dp), ...)``): one exchange
+    of k×dim partials, no row explosion — the explode form it replaces
+    shuffled an n×dim row stream through two exchanges for the same
+    k×dim result (round 11; guide §2.3). Same value contract: identical
+    per-(label, dim) value multisets, rounded to CENTROID_ROUND before
+    any consumer. Dim-unknown falls back to the explode shape."""
+    if dim:
+        arr = ", ".join(
+            f"round(avg(`v`[{i}]), {CENTROID_ROUND})" for i in range(dim)
+        )
+        return vecs.groupBy("label").agg(
+            F.expr(f"array({arr})").alias("centroid")
+        )
     dims = vecs.select(
         "label", F.posexplode("v").alias("dim", "val")
     )
@@ -301,7 +416,8 @@ def ivf_centroids(
     """(label, centroid) for each inverted list — see _centroids. The
     assignment comes from `lists` (offline k-means output) or an existing
     `list_col` column."""
-    return _centroids(_with_lists(emb, id_col, vec_col, list_col, lists))
+    return _centroids(_with_lists(emb, id_col, vec_col, list_col, lists),
+                      infer_dim(emb, vec_col))
 
 
 def _probe_select(
@@ -367,7 +483,7 @@ def ann_ivf_topk(
         # first action — building the DataFrame (plan inspection, schema
         # checks) must not run the k-means job.
         vecs = vecs.localCheckpoint(eager=False)
-    cents = _centroids(vecs)
+    cents = _centroids(vecs, dim)
     probes = _probe_select(vecs, query_ids, cents, n_probe, id_col).drop(
         "probe_rank"
     )
@@ -388,6 +504,7 @@ def with_perturbed_copies(
     eps: float = PERTURB_EPS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """embeddings ∪ planted near-duplicates: every even vec_id gets a copy
     at vec_id + (max(vec_id)+1), perturbed as x → x + eps·|x|
@@ -401,9 +518,18 @@ def with_perturbed_copies(
     the oracle."""
     base = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
     off = base.agg((F.coalesce(F.max("vec_id"), F.lit(0)) + 1).alias("_off"))
+    if dim:
+        # Unrolled (codegen) perturbation for a known dimension — the
+        # transform() HOF below is CodegenFallback, interpreted per copy
+        # row; element math identical (x + eps·|x| per component).
+        pert = F.expr("array(" + ", ".join(
+            f"`v`[{i}] + {eps!r}D * abs(`v`[{i}])" for i in range(dim)
+        ) + ")")
+    else:
+        pert = F.transform("v", lambda x: x + eps * F.abs(x))
     copies = base.filter(F.col("vec_id") % 2 == 0).crossJoin(F.broadcast(off)).select(
         (F.col("vec_id") + F.col("_off")).alias("vec_id"),
-        F.transform("v", lambda x: x + eps * F.abs(x)).alias("v"),
+        pert.alias("v"),
     )
     return base.unionByName(copies)
 
@@ -430,7 +556,9 @@ def embedding_near_duplicates(
     candidate-sized, bucket-bounded."""
     dims = _resolve_dims(bucket_dims, emb, id_col)
     dim = infer_dim(emb, vec_col)
-    vecs = with_perturbed_copies(emb, id_col=id_col, vec_col=vec_col).withColumn(
+    vecs = with_perturbed_copies(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim
+    ).withColumn(
         "bucket", sign_bucket("v", dims)
     ).withColumn("nv", _norm("v", dim))
     a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -558,10 +686,10 @@ def semantic_dedup(
     # assignment pass (plus the seed TakeOrdered and the keep join), and
     # the planted-copy union's lineage (offset aggregate + transform)
     # would otherwise re-execute with each pass.
-    vecs = with_perturbed_copies(
-        emb, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
     dim = infer_dim(emb, vec_col)
+    vecs = with_perturbed_copies(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim
+    ).localCheckpoint(eager=False)
     two_level = False
     if k == "auto":
         # one count job — an offline dedup run knows its corpus size
@@ -579,7 +707,7 @@ def semantic_dedup(
         two_level = True
     asg = kmeans_assign(
         vecs, k=k, n_assign=2, id_col="vec_id", vec_col="v",
-        two_level=two_level,
+        two_level=two_level, dim=dim,
     )
     lv = vecs.join(
         asg.select("vec_id", F.col("cluster").alias("label")), on="vec_id"
@@ -764,7 +892,7 @@ def ann_ivf_recall_sweep(
         # (round-7 advice; the pre-fusion sweep exposed pin_lists=False
         # for exactly this).
         vecs = vecs.localCheckpoint(eager=False)
-    cents = _centroids(vecs) if centroids is None else centroids
+    cents = _centroids(vecs, dim) if centroids is None else centroids
     probes = _probe_select(vecs, query_ids, cents, p_max, id_col)
     sim = F.round(_cgn("qv", "v", "qn", "nv", dim), SIM_ROUND)
     scored = vecs.join(

@@ -63,7 +63,18 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     fold billions of times (k-means assignment at k=4096 over the 2M
     organic sf100 embeddings evaluates 8.2e9 of them) the interpreted
     evaluator IS the plan cost. Use when the embedding dimension is
-    known (infer_dim); fall back to ``dot`` otherwise."""
+    known (infer_dim); fall back to ``dot`` otherwise.
+
+    Plain-string inputs take the ONE-CALL ``F.expr`` path: building the
+    64-term tree Column-by-Column costs ~260 py4j round trips (~0.7 s
+    measured on this box) per instantiation, and the SemDeDup builder
+    instantiates eight such trees — the round-11 profiler measured the
+    datapipe family spending more wall in plan CONSTRUCTION than in
+    execution at sf0.1. The parsed tree is identical node-for-node
+    (verified on the analyzed plan), so results are bit-equal."""
+    if isinstance(a, str) and isinstance(b, str):
+        terms = "".join(f" + (`{a}`[{i}] * `{b}`[{i}])" for i in range(dim))
+        return F.expr(f"0.0D{terms}")
     ca, cb = _c(a), _c(b)
     acc: Column = F.lit(0.0)
     for i in range(dim):
@@ -73,7 +84,11 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
 
 def norm_fixed(a: Column | str, dim: int) -> Column:
     """``norm`` with the fold unrolled — same sequential accumulation
-    order, codegen instead of the interpreted HOF evaluator."""
+    order, codegen instead of the interpreted HOF evaluator. String
+    inputs parse as one ``F.expr`` (see dot_fixed — construction cost)."""
+    if isinstance(a, str):
+        terms = "".join(f" + (`{a}`[{i}] * `{a}`[{i}])" for i in range(dim))
+        return F.expr(f"SQRT(0.0D{terms})")
     ca = _c(a)
     acc: Column = F.lit(0.0)
     for i in range(dim):
@@ -104,6 +119,12 @@ def sign_bucket(a: Column | str, dims: list[int]) -> Column:
     dimensions. Cheap, portable to SQL (the oracle reproduces it), and a
     real candidate-pruning strategy for near-duplicate detection — recall
     is bounded but deterministic."""
+    if isinstance(a, str):
+        bits_sql = ", ".join(
+            f"CASE WHEN element_at(`{a}`, {d + 1}) >= 0 THEN '1' ELSE '0' END"
+            for d in dims
+        )
+        return F.expr(f"concat({bits_sql})")
     c = _c(a)
     bits = [
         F.when(F.element_at(c, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))

@@ -703,21 +703,19 @@ def _sql_flipped_bucket(v: str, flip: str, ndims: int) -> str:
     tags=("datapipe",),
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-scan sweep (round 11): both probe settings' recalls come from a
+    # single bucket-join scan with per-candidate probe ranks — the old
+    # builder ran ann_bucket_topk + recall_at_k once PER setting (two
+    # identical corpus scans). Results bit-equal (subset-rank argument in
+    # ann_bucket_recall_sweep); the oracle is unchanged.
     emb = R.load_table(spark, sf_dir, "embeddings")
     brute = SIM.ensure_brute_topk_fixture(
         spark, sf_dir, RECALL_QUERY_IDS, k=RECALL_K
     )
-    p1 = SIM.ann_bucket_topk(
-        emb, RECALL_QUERY_IDS, k=RECALL_K, bucket_dims=RECALL_DIMS, n_probe=1
-    )
-    p2 = SIM.ann_bucket_topk(
-        emb, RECALL_QUERY_IDS, k=RECALL_K, bucket_dims=RECALL_DIMS, n_probe=2
-    )
-    r1 = SIM.recall_at_k(p1, brute).withColumnRenamed("recall", "recall_p1")
-    r2 = SIM.recall_at_k(p2, brute).select(
-        "query_id", F.col("recall").alias("recall_p2")
-    )
-    return r1.join(r2, "query_id").orderBy("query_id")
+    return SIM.ann_bucket_recall_sweep(
+        emb, RECALL_QUERY_IDS, brute, k=RECALL_K,
+        bucket_dims=RECALL_DIMS, n_probes=(1, 2),
+    ).orderBy("query_id")
 
 
 CHUNK_TOKENS = 50
