@@ -52,16 +52,22 @@ def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) rows — distinct n-word grams, built codegen-side.
 
-    posexplode tokens → window lead(n-1) per doc → concat: every step is
-    whole-stage-codegen'd; the HOF `transform(sequence, slice, join)`
-    formulation in functions/hashing.py::word_shingles computes the same
-    set but interpreted (~300 lambda evals per doc — it dominated the
-    dedup queries at sf0.1). Docs shorter than n tokens contribute their
-    full normalized text as the single shingle, exactly like
-    word_shingles (equality pinned by tests/test_datapipe.py).
+    posexplode tokens → per-row array lookups `get(_toks, _pos+i)` →
+    concat: every step is whole-stage-codegen'd AND map-only. The round-11
+    form replaces the previous window `lead(_tok, i)` per doc: posexplode
+    emits dense positions 0..k-1, so lead(i) over (doc_id ORDER BY _pos)
+    is definitionally the token at _pos+i — the same value the 0-based
+    `get` reads straight out of the carried array, with no
+    Exchange(doc_id) + Sort + Window. That exchange shuffled the FULL
+    token array once per exploded token row (corpus_tokens × array-sized
+    rows — the widest shuffle in every shingle pipeline); now the wide
+    rows never leave the scan stage. The HOF `transform(sequence, slice,
+    join)` formulation in functions/hashing.py::word_shingles computes
+    the same set but interpreted (~300 lambda evals per doc). Docs
+    shorter than n tokens contribute their full normalized text as the
+    single shingle, exactly like word_shingles (equality pinned by
+    tests/test_datapipe.py).
     """
-    from pyspark.sql import Window
-
     toks = normalized_tokens(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -71,17 +77,19 @@ def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
         "doc_id", "_toks", F.size("_toks").alias("_k"),
         F.posexplode("_toks").alias("_pos", "_tok"),
     )
-    w = Window.partitionBy("doc_id").orderBy("_pos")
-    leads = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    # lead(_tok, i) ≡ get(_toks, _pos + i): positions are dense per doc.
+    nbrs = [F.col("_tok")] + [F.get("_toks", F.col("_pos") + F.lit(i))
+                              for i in range(1, n)]
     grams = (
-        pos.withColumn("_g", F.concat_ws(" ", *leads))
-        .withColumn("_last", leads[-1])
-        .filter((F.col("_k") < n) & (F.col("_pos") == 0)  # short-doc fallback
-                | F.col("_last").isNotNull())
+        pos.filter(
+            (F.col("_k") < n) & (F.col("_pos") == 0)  # short-doc fallback
+            | (F.col("_pos") + F.lit(n - 1) < F.col("_k"))
+        )
         .withColumn(
             "shingle",
             F.when(F.col("_k") < n,
-                   F.array_join(F.col("_toks"), " ")).otherwise(F.col("_g")),
+                   F.array_join(F.col("_toks"), " "))
+            .otherwise(F.concat_ws(" ", *nbrs)),
         )
     )
     return grams.select("doc_id", "shingle").distinct()
@@ -295,29 +303,41 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         *[F.conv(F.substring("m", k * 8 + 1, 8), 16, 10).cast("long").alias(f"_h{k}")
           for k in range(4)],
     )
-    count_cols = []
+    # The 64 vote sums, 64 bit CASEs, and the two packed halves are built
+    # as SQL strings parsed with ONE F.expr call each (round 11): the
+    # column-op formulation cost ~600 py4j round trips of pure
+    # driver-side build time per instantiation (guide §1.2 — the measured
+    # bottleneck was the DRIVER, not the executors; same fix as
+    # functions/vectors.py). The parsed trees analyze to the identical
+    # expressions: sum(shiftright & 1) votes, 2·ones ≥ n majority CASEs,
+    # and exact integer sums of distinct powers of two.
+    count_exprs = []
     for p in range(1, SIMHASH_BITS + 1):
         nib = (p - 1) % 32          # which of the 32 hex nibbles
         k, j = nib // 8, nib % 8    # 8-hex-char chunk, nibble within it
         # bit 3 (high) of the nibble for positions 1..32, bit 2 for 33..64
         shift = (7 - j) * 4 + (3 if p <= 32 else 2)
-        bit = F.shiftright(F.col(f"_h{k}"), shift).bitwiseAND(F.lit(1))
-        count_cols.append(F.sum(bit).alias(f"c{p}"))
-    votes = chunks.groupBy("doc_id").agg(F.count("*").alias("n"), *count_cols)
+        count_exprs.append(
+            F.expr(f"sum(shiftright(_h{k}, {shift}) & 1)").alias(f"c{p}")
+        )
+    votes = chunks.groupBy("doc_id").agg(F.count("*").alias("n"), *count_exprs)
     # vote_p >= 0  ⇔  2·ones_p >= n_tokens
-    bits = [
-        F.when(2 * F.col(f"c{p}") >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
-        for p in range(1, SIMHASH_BITS + 1)
-    ]
-    sig = F.concat(*[b.cast("string") for b in bits])
-    sig_hi = sum(
-        (b * F.lit(1 << (32 - p))).cast("long")
-        for p, b in enumerate(bits[:32], start=1)
+    def _bit(p: int) -> str:
+        return f"(CASE WHEN (2 * c{p}) >= n THEN 1 ELSE 0 END)"
+
+    sig = F.expr(
+        "concat(" + ", ".join(
+            f"cast({_bit(p)} as string)" for p in range(1, SIMHASH_BITS + 1)
+        ) + ")"
     )
-    sig_lo = sum(
-        (b * F.lit(1 << (32 - p))).cast("long")
-        for p, b in enumerate(bits[32:], start=1)
-    )
+    sig_hi = F.expr(" + ".join(
+        f"cast(({_bit(p)} * {1 << (32 - p)}L) as bigint)"
+        for p in range(1, 33)
+    ))
+    sig_lo = F.expr(" + ".join(
+        f"cast(({_bit(p + 32)} * {1 << (32 - p)}L) as bigint)"
+        for p in range(1, 33)
+    ))
     return votes.select(
         "doc_id", sig.alias("sig"),
         sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo"),

@@ -233,12 +233,21 @@ def source_overlap(
     Jaccard = |∩| / (|a| + |b| − |∩|), an integer ratio (bit-exact
     across engines), rounded for presentation only.
     """
-    from ..functions.hashing import word_shingles
+    # Round 11: the shingle set comes from the codegen'd map-only
+    # pipeline (dedup_text.exploded_shingles — posexplode + array `get`),
+    # not the interpreted `word_shingles` HOF (~300 lambda evals per doc,
+    # the known scalar-path pathology; guide §4). exploded_shingles
+    # already emits DISTINCT (key, shingle) rows, and keyed by source it
+    # computes exactly the per-source distinct shingle set: per-doc
+    # distinctness only collapses duplicates this distinct would collapse
+    # anyway, and the short-doc fallback is shared (both forms emit the
+    # full normalized text of a short doc as its single shingle).
+    from .dedup_text import exploded_shingles
 
-    sh = docs.select(
-        F.col(source_col).alias("src"),
-        F.explode(word_shingles(text_col, n_shingle)).alias("s"),
-    ).distinct()
+    sh = exploded_shingles(docs, n_shingle, id_col=source_col,
+                           text_col=text_col).select(
+        F.col("doc_id").alias("src"), F.col("shingle").alias("s")
+    )
     sizes = sh.groupBy("src").agg(F.count("*").alias("n"))
     srcs_per_shingle = sh.groupBy("s").agg(
         F.sort_array(F.collect_set("src")).alias("srcs")

@@ -1116,13 +1116,17 @@ def q_daily_bars_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             day_alias="trade_date", tiebreak="event_id",
         ).select("user_id", "trade_date", "open", "close", "high", "low")
 
-    daystocks = bars(ev.filter(F.col("user_id") < 25))
-    covered = daystocks.select("user_id").distinct()
-    uncovered_ticks = J.anti_join_new_keys(ev, covered, on=["user_id"])
-    fallback = bars(uncovered_ticks)
-    return (
-        daystocks.withColumn("src", F.lit("daystocks"))
-        .unionByName(fallback.withColumn("src", F.lit("fallback")))
+    # Round 11: one aggregate pass, not two passes + an anti-join. The
+    # covered set is exactly {user_id < 25 with rows}, so the anti-join
+    # kept exactly the user_id >= 25 rows; a union of OHLCV aggregates
+    # over a partition of the rows by their own grouping key equals the
+    # single aggregate with src = CASE on the key. Halves the corpus
+    # scans (ev was read by both branches); bit-equal by construction,
+    # oracle (which still spells the anti-join shape) unchanged.
+    return bars(ev).withColumn(
+        "src",
+        F.when(F.col("user_id") < 25, F.lit("daystocks"))
+        .otherwise(F.lit("fallback")),
     )
 
 
@@ -3310,12 +3314,19 @@ def q_dashboard_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             day_alias="trade_date", tiebreak="event_id",
         ).select("user_id", "trade_date", "open", "close", "high", "low")
 
-    daystocks = bars(ev_sel.filter(F.col("user_id") % 2 == 0))
-    covered = daystocks.select("user_id").distinct()
-    fallback = bars(J.anti_join_new_keys(ev_sel, covered, on=["user_id"]))
-    all_bars = (
-        daystocks.withColumn("src", F.lit("daystocks"))
-        .unionByName(fallback.withColumn("src", F.lit("fallback")))
+    # Round 11: ONE aggregate pass over ev_sel instead of two plus an
+    # anti-join. The split is provably a partition by user parity:
+    # covered = {even user_ids present in ev_sel}, so the anti-join kept
+    # exactly the odd users' rows — and a union of per-branch OHLCV
+    # aggregates over a partition of the rows by their own grouping key
+    # is the one aggregate over all rows with src = CASE on the key.
+    # Before, each branch re-ran the ev scan + semi-join + date filter
+    # (ev_sel was unpinned): 2 corpus scans and 2 aggregates for one
+    # result. Bit-equal by construction; oracle unchanged.
+    all_bars = bars(ev_sel).withColumn(
+        "src",
+        F.when(F.col("user_id") % 2 == 0, F.lit("daystocks"))
+        .otherwise(F.lit("fallback")),
     )
 
     # (4) Bollinger over the daily closes (window 10, 2 std, NULL-until-full).

@@ -476,7 +476,16 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count(*) div {DEDUP_RECALL_MAX_PROBES}"),
         ).alias("pmod")
     )
-    bands = DT.minhash_band_keys(DT.minhash_components(corp, 3))
+    # Pin the per-doc signature frame (round 11): `bands` feeds BOTH the
+    # probe side and the partner side of the band join below, and the two
+    # subtrees differ (the probe side filters on pmod), so ReusedExchange
+    # cannot collapse them — without the pin the shingle-explode + md5 +
+    # min-aggregate pipeline executes twice. Same compact-signature pin
+    # as dedup_text.minhash_lsh_candidates; lazy, first action
+    # materializes.
+    bands = DT.minhash_band_keys(
+        DT.minhash_components(corp, 3).localCheckpoint(eager=False)
+    )
     pb = (
         bands.crossJoin(F.broadcast(mod_df))
         .filter(F.col("doc_id") % F.col("pmod") == 0)
