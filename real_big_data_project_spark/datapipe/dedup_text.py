@@ -49,8 +49,18 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 
 
 def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) rows — distinct n-word grams, built codegen-side.
+
+    ``distinct=False`` skips the trailing per-(doc, shingle) dedup — a
+    FULL corpus-gram-sized exchange — and returns the raw gram stream
+    (map-only). Use it whenever the consumer's own aggregate is
+    duplicate-insensitive: per-salt `min` (minhash) and `collect_set`
+    (ngram / containment set builds) produce bit-identical results over
+    duplicate grams, so the distinct's exchange is pure cost there
+    (round 11; it was the dominant shuffle of the organic-sf100 ngram
+    stage decomposition, _artifacts/diag_ngram.json).
 
     posexplode tokens → per-row array lookups `get(_toks, _pos+i)` →
     concat: every step is whole-stage-codegen'd AND map-only. The round-11
@@ -92,13 +102,15 @@ def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
             .otherwise(F.concat_ws(" ", *nbrs)),
         )
     )
-    return grams.select("doc_id", "shingle").distinct()
+    out = grams.select("doc_id", "shingle")
+    return out.distinct() if distinct else out
 
 
 def shingle_sets(docs: DataFrame, n: int, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
+    # collect_set is duplicate-insensitive → skip the distinct's exchange.
     return (
-        exploded_shingles(docs, n, id_col, text_col)
+        exploded_shingles(docs, n, id_col, text_col, distinct=False)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"))
     )
@@ -123,7 +135,13 @@ def minhash_components(docs: DataFrame, n_shingle: int = 3,
     way: each md5 yields 4 independent 32-bit components (disjoint
     8-hex-char slices), so 8 components cost 2 md5 calls per shingle.
     """
-    sh = exploded_shingles(docs, n_shingle, id_col, text_col).select(
+    # distinct=False: the per-salt min below is idempotent over duplicate
+    # grams (same md5 per repeated shingle), so the per-(doc, shingle)
+    # dedup's full exchange is pure cost — with it gone, the ONLY
+    # corpus-gram-sized shuffle left in the signature build is the
+    # map-side-combined min partials (8 minima per doc). Round 11.
+    sh = exploded_shingles(docs, n_shingle, id_col, text_col,
+                           distinct=False).select(
         "doc_id", F.col("shingle").alias("s")
     )
     hashed = sh.select(
@@ -255,8 +273,13 @@ def ngram_jaccard_pairs(
     # (array<long> vs array<string>): the raw-string form's cumulative
     # shuffle ENOSPC'd the 5M-doc organic sf100 leg on this machine's
     # 78 GB of free scratch.
+    # distinct=False (round 11): collect_set dedups by value, so the
+    # per-(doc, shingle) distinct upstream was a second corpus-gram-sized
+    # exchange for the identical set — stage B of the organic-sf100
+    # decomposition ran this shape TWICE (both verification sides).
     sh = (
-        exploded_shingles(docs, n_shingle, id_col, text_col)
+        exploded_shingles(docs, n_shingle, id_col, text_col,
+                          distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("shingles"))
@@ -746,8 +769,13 @@ def containment_pairs(
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Separate non-distinct build for the verification sets: collect_set
+    # dedups by value, so re-running the map-only gram stream is cheaper
+    # than sharing `sh`'s distinct exchange (round 11).
     sets = (
-        sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+        exploded_shingles(docs, n_shingle, id_col, text_col,
+                          distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
     )
