@@ -1104,8 +1104,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="The dashboard's fallback path (SURVEY §3.2, "
                 "dashboard/timescaledb_model.py:526-572): serve "
                 "precomputed daystocks when present, else aggregate raw "
-                "ticks on the fly — anti-join to find uncovered series, "
-                "unioned as one daily_bars view.",
+                "ticks on the fly. The covered set is a partition of the "
+                "rows by their own grouping key, so since round 11 this "
+                "is ONE OHLCV aggregate with src = CASE on the key — "
+                "bit-equal to the oracle's anti-join + union spelling, "
+                "at half the corpus scans.",
 )
 def q_daily_bars_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = R.events_with_volume(spark, sf_dir)
@@ -3274,7 +3277,8 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "filtered before any aggregation; (3) daily bars with "
                 "the daystocks-else-resample fallback (get_company_data: "
                 "even user_ids have precomputed bars, the rest aggregate "
-                "raw ticks via anti-join + union); (4) Bollinger bands "
+                "raw ticks — one aggregate pass, src by key parity since "
+                "round 11); (4) Bollinger bands "
                 "(window 10, 2σ, NULL-until-full) over each series' "
                 "daily closes (calculate_bollinger_bands). Exercises "
                 "operator COMPOSITION: semi/anti joins, scalar-subquery "
@@ -3307,7 +3311,7 @@ def q_dashboard_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # (3) daily bars: precomputed daystocks (even user_ids) else fallback
-    # resample of raw ticks, found by anti-join, served as one union.
+    # resample of raw ticks, served as one aggregate pass (round 11).
     def bars(df: DataFrame) -> DataFrame:
         return A.ohlcv_daily(
             df, key="user_id", ts="ts", price="value", volume="volume",
