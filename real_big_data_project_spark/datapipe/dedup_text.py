@@ -284,12 +284,19 @@ def ngram_jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("shingles"))
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                   F.size("shingles").alias("_n_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                   F.size("shingles").alias("_n_b"))
+    # |A∪B| = |A| + |B| − |A∩B| for sets (collect_set output is distinct,
+    # never null/empty — every doc yields ≥1 shingle): the arithmetic form
+    # drops array_union's second per-pair hash build, which after the
+    # batch-2/3 shuffle fixes was ~half of the verification joins' CPU —
+    # themselves ~91% of the full query (guide §1.2 step 2: per-task work,
+    # once the shape is right). int32 identity ⇒ the double divide is
+    # bit-identical to the array_union form.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("_n_a") + F.col("_n_b") - inter)
     return (
         candidates.select("doc_a", "doc_b")
         .join(sa, "doc_a")

@@ -392,9 +392,12 @@ def _ensure_recall_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("probe_id"),
                     F.col("shingles").alias("shp"))
         )
-        jac = (
-            F.size(F.array_intersect("shingles", "shp")).cast("double")
-            / F.size(F.array_union("shingles", "shp"))
+        # |A∪B| = |A|+|B|−|A∩B| over shingle SETS — same union-arithmetic
+        # rewrite as ngram_jaccard_pairs (halves the truth sweep's per-pair
+        # set work; bit-identical, so the stored fixture stays valid).
+        _inter = F.size(F.array_intersect("shingles", "shp"))
+        jac = _inter.cast("double") / (
+            F.size("shingles") + F.size("shp") - _inter
         )
         return (
             sets.crossJoin(F.broadcast(probes))
