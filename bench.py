@@ -150,6 +150,14 @@ def _organic_semantic_auto(spark, sf_dir):
 ORGANIC_OVERRIDES = {"q_semantic_dedup": _organic_semantic_auto}
 ORGANIC_SINGLE_PASS = {"q_semantic_dedup"}
 
+# The compact line's report set never shrinks round-over-round: the r11
+# top-10 stays pinned alongside whatever the current round's top 10 is.
+PINNED_REPORT = (
+    "q_semantic_dedup_autok", "q_semantic_dedup", "q_datapipe_e2e_v2",
+    "q_pagerank", "q_dedup_canonical", "q_ann_ivf", "q_dedup_components",
+    "q_bpe_train", "q_simjoin_prefix", "q_containment",
+)
+
 
 def run_organic_leg() -> int:
     """Child-process body of the organic leg: own (fresh) session, an
@@ -362,6 +370,15 @@ def main() -> int:
         ((n, v) for n, v in timings.items() if v >= 0),
         key=lambda kv: -kv[1],
     )[:10])
+    # Pinned report rows (round 12, VERDICT r11 item 8): the driver's PERF
+    # comparator reads THIS map, so a query that rotates out of the top 10
+    # — often because it got FASTER — reads as "dropped_from_bench"
+    # (PERF_r11 flagged three improved queries that way). Keep every
+    # query the previous round's compact line reported; entries are only
+    # ever ADDED to `queries`, never removed or renamed.
+    for n in PINNED_REPORT:
+        if n in timings and timings[n] >= 0:
+            slowest.setdefault(n, timings[n])
     compact = {
         "metric": "catalog_total_wall",
         "value": round(total, 4),

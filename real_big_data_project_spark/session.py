@@ -35,6 +35,29 @@ NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 OBJ_AGG_FALLBACK = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 OBJ_AGG_FALLBACK_KEYS = str(1 << 18)
 
+# Scan-split parallelism floor (round 12, VERDICT r11 item 1). The round-11
+# shuffle removals made the shingle/k-means pipelines map-only up to their
+# first aggregate, so they run at FILE-SPLIT parallelism — and Spark's
+# maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes, bytes/cores))
+# floors at openCostInBytes (default 4 MB), capping a small input at
+# input_bytes/4MB tasks no matter the core count (the 14.8 MB organic
+# corpus: 4 tasks on 32 cores — the mechanism behind the r11 organic-leg
+# regression and the ≈1 low-core/32-core scaling ratios). Lowering the
+# per-file open cost lets the bytes/cores term bind instead, so a small
+# input splits to ≈ one split per core — scale-adaptive by construction
+# (the term derives from the session's parallelism, not a tuned constant).
+# At production scale the conf is inert for split sizing (bytes/cores ≫
+# maxPartitionBytes ⇒ splits are maxPartitionBytes regardless); its only
+# large-scale effect is the padding charged per file when packing many
+# SMALL files into one split, where a lower charge packs more files per
+# task — the direction guide §2.2/§6 wants (fewer, larger map tasks).
+# Parquet can only split at row-group boundaries, so the floor is
+# additionally bounded by the writer's row-group count; the conf makes
+# every available row group schedulable instead of ~4 per 16 MB.
+OPEN_COST = "spark.sql.files.openCostInBytes"
+OPEN_COST_BYTES = os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES",
+                                 str(256 * 1024))
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -60,6 +83,7 @@ def get_spark(app_name: str = "real_big_data_project_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
         .config(OBJ_AGG_FALLBACK, OBJ_AGG_FALLBACK_KEYS)
+        .config(OPEN_COST, OPEN_COST_BYTES)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -103,3 +127,4 @@ def ensure_session_confs(spark: SparkSession) -> None:
     require_min_spark(spark)
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set(OBJ_AGG_FALLBACK, OBJ_AGG_FALLBACK_KEYS)
+    spark.conf.set(OPEN_COST, OPEN_COST_BYTES)
