@@ -761,21 +761,50 @@ def containment_pairs(
     preserved; the ngram_jaccard_pairs transport argument verbatim).
     Containment is one integer division — bit-exact across engines.
     """
-    sh = exploded_shingles(docs, n_shingle, id_col, text_col)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = (
-        sh.join(dfreq.filter(F.col("df") <= max_df), "shingle")
-        .select("doc_id", "shingle")
-    )
-    cand = (
-        rare.alias("a")
-        .join(rare.alias("b"),
-              (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    if max_df == 2:
+        # Candidates WITHOUT the postings self-join (round 12). A pair can
+        # only share a df ≤ 2 shingle when that shingle's df is EXACTLY 2,
+        # and a shingle held by exactly two distinct docs anchors exactly
+        # the pair (min_doc, max_doc) — so ONE aggregate keyed by shingle
+        # (count(distinct doc_id) for df, min/max for the pair; narrow
+        # codegen buffers, no posting arrays that a hot boilerplate
+        # shingle could blow up) produces the identical candidate set.
+        # This replaces the per-(doc, shingle) distinct (2 aggs + a
+        # gram-sized exchange), the doc-frequency re-aggregation, the
+        # corpus-gram ⋈ rare-vocabulary SortMergeJoin and the postings
+        # self-join — at organic_sf1 those were the query's dominant CPU
+        # (a 5.2 CPU-minute string-keyed aggregate + three ~190 MB
+        # exchanges for 4.36M distinct shingles; guide §2.4). The pair
+        # distinct stays: one pair may share several rare shingles.
+        agg = (
+            exploded_shingles(docs, n_shingle, id_col, text_col,
+                              distinct=False)
+            .groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("_df"),
+                 F.min("doc_id").alias("_da"),
+                 F.max("doc_id").alias("_db"))
+        )
+        cand = (
+            agg.filter(F.col("_df") == 2)
+            .select(F.col("_da").alias("doc_a"), F.col("_db").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        sh = exploded_shingles(docs, n_shingle, id_col, text_col)
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rare = (
+            sh.join(dfreq.filter(F.col("df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+        cand = (
+            rare.alias("a")
+            .join(rare.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
     # Separate non-distinct build for the verification sets: collect_set
     # dedups by value, so re-running the map-only gram stream is cheaper
     # than sharing `sh`'s distinct exchange (round 11).
