@@ -48,6 +48,36 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Fan a SMALL scan out to the session's parallelism before heavy
+    map-only work (round 12, VERDICT r11 item 1's second half). The r11
+    shuffle removals run the tokenize→gram→hash pipelines at file-split
+    parallelism, and parquet can only split at row-group boundaries — so
+    a single-row-group input (every sf0.1 bench table) caps every
+    downstream map stage at ONE task no matter the split conf, and the
+    openCostInBytes fix can't reach it. When the input's planned
+    partition count is below the session parallelism, hash-repartition
+    by the doc id (deterministic under retries — guide §2.5; never
+    round-robin, whose sort-before-repartition costs more than the
+    shuffled bytes here). The shuffled bytes are the small input itself.
+    At production scale the gate is FALSE (scan splits ≫ cores): the
+    plan is untouched and no corpus-text-sized shuffle is reintroduced.
+    Only exact-arithmetic consumers sit downstream (min / collect_set /
+    count / integer votes / canonicalized collect_list), so results are
+    partition-order-invariant by construction. The partition-count probe
+    plans the frame (and runs the tiny scalar-aggregate job inside
+    with_near_duplicates' broadcast offset) — ~0.1 s at bench scale,
+    charged to the builder and repaid ×10 by the fanned map stage."""
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # planning failed — never block the query on the gate
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if n_parts >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
                       text_col: str = "text",
                       distinct: bool = True) -> DataFrame:
@@ -79,10 +109,10 @@ def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
     tests/test_datapipe.py).
     """
     toks = normalized_tokens(text_col)
-    base = docs.select(
+    base = _fan_out(docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
-    )
+    ), "doc_id")
     pos = base.select(
         "doc_id", "_toks", F.size("_toks").alias("_k"),
         F.posexplode("_toks").alias("_pos", "_tok"),
@@ -324,9 +354,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     The integer form is split (sig_hi = bits 1–32, sig_lo = bits 33–64) so
     each half stays in non-negative long range — no sign games with bit 63.
     """
-    toks = docs.select(
+    toks = _fan_out(docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(normalized_tokens(text_col)).alias("t"),
+        normalized_tokens(text_col).alias("_tk"),
+    ), "doc_id").select(
+        "doc_id", F.explode("_tk").alias("t")
     ).select("doc_id", F.md5("t").alias("m"))
     chunks = toks.select(
         "doc_id",
@@ -513,7 +545,7 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         norm.alias("_norm"),
     ).select("doc_id", "_norm", F.md5("_norm").alias("content_fp"))
-    grams = per_doc.select(
+    grams = _fan_out(per_doc.select("doc_id", "_norm"), "doc_id").select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), n_grams),
@@ -586,9 +618,9 @@ def span_dedup(corpus: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = corpus.select(
+    toks = _fan_out(corpus.select(
         "doc_id", normalized_tokens("text").alias("toks")
-    ).filter(F.size("toks") > 0)
+    ).filter(F.size("toks") > 0), "doc_id")
     nspan = F.ceil(F.size("toks") / span_tokens).cast("int")
     spans = toks.select(
         "doc_id",
