@@ -318,8 +318,10 @@ def ngram_jaccard_pairs(
                    F.size("shingles").alias("_n_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
                    F.size("shingles").alias("_n_b"))
-    # |A∪B| = |A| + |B| − |A∩B| for sets (collect_set output is distinct,
-    # never null/empty — every doc yields ≥1 shingle): the arithmetic form
+    # |A∪B| = |A| + |B| − |A∩B| for sets (collect_set output is distinct;
+    # every doc PRESENT in the aggregate has ≥1 shingle — token-less docs
+    # are absent from it and drop out of the inner joins, so arrays in
+    # joined rows are non-null/non-empty): the arithmetic form
     # drops array_union's second per-pair hash build, which after the
     # batch-2/3 shuffle fixes was ~half of the verification joins' CPU —
     # themselves ~91% of the full query (guide §1.2 step 2: per-task work,
