@@ -16,6 +16,8 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,7 +50,11 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _fan_out(df: DataFrame, key: str) -> DataFrame:
+_FAN_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _fan_out(df: DataFrame, key: str,
+             probe: DataFrame | None = None) -> DataFrame:
     """Fan a SMALL scan out to the session's parallelism before heavy
     map-only work (round 12, VERDICT r11 item 1's second half). The r11
     shuffle removals run the tokenize→gram→hash pipelines at file-split
@@ -64,12 +70,21 @@ def _fan_out(df: DataFrame, key: str) -> DataFrame:
     plan is untouched and no corpus-text-sized shuffle is reintroduced.
     Only exact-arithmetic consumers sit downstream (min / collect_set /
     count / integer votes / canonicalized collect_list), so results are
-    partition-order-invariant by construction. The partition-count probe
-    plans the frame (and runs the tiny scalar-aggregate job inside
-    with_near_duplicates' broadcast offset) — ~0.1 s at bench scale,
-    charged to the builder and repaid ×10 by the fanned map stage."""
+    partition-order-invariant by construction.
+
+    The probe (`.rdd.getNumPartitions()`) physically plans the frame and
+    runs with_near_duplicates' tiny broadcast-offset job — measured
+    ~0.3 s per FRESH DataFrame at sf0.1 — so it is memoized per probe
+    object (``probe`` is the caller's shared `docs` frame; map-only
+    select/filter preserve the partition count, and one query's
+    shingle/signature builders all reuse the same corpus object, so the
+    cost is paid once per query build, not once per call)."""
+    src = probe if probe is not None else df
     try:
-        n_parts = df.rdd.getNumPartitions()
+        n_parts = _FAN_PROBE_CACHE.get(src)
+        if n_parts is None:
+            n_parts = src.rdd.getNumPartitions()
+            _FAN_PROBE_CACHE[src] = n_parts
     except Exception:  # planning failed — never block the query on the gate
         return df
     n = df.sparkSession.sparkContext.defaultParallelism
@@ -112,7 +127,7 @@ def exploded_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
     base = _fan_out(docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
-    ), "doc_id")
+    ), "doc_id", probe=docs)
     pos = base.select(
         "doc_id", "_toks", F.size("_toks").alias("_k"),
         F.posexplode("_toks").alias("_pos", "_tok"),
@@ -359,7 +374,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     toks = _fan_out(docs.select(
         F.col(id_col).alias("doc_id"),
         normalized_tokens(text_col).alias("_tk"),
-    ), "doc_id").select(
+    ), "doc_id", probe=docs).select(
         "doc_id", F.explode("_tk").alias("t")
     ).select("doc_id", F.md5("t").alias("m"))
     chunks = toks.select(
@@ -547,7 +562,8 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         norm.alias("_norm"),
     ).select("doc_id", "_norm", F.md5("_norm").alias("content_fp"))
-    grams = _fan_out(per_doc.select("doc_id", "_norm"), "doc_id").select(
+    grams = _fan_out(per_doc.select("doc_id", "_norm"), "doc_id",
+                     probe=docs).select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), n_grams),
@@ -620,9 +636,15 @@ def span_dedup(corpus: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = _fan_out(corpus.select(
+    # NOT fanned out (round 12): unlike the shingle/simhash/winnow map
+    # stages, span_dedup's heavy work sits BETWEEN two existing shuffles
+    # (the span window and the doc reassembly aggregate already fan it
+    # out); a gated _fan_out here measured consistently SLOWER at sf0.1
+    # (0.87 -> 1.38 s same-session paired) — the added exchange buys
+    # nothing the window's exchange doesn't already provide.
+    toks = corpus.select(
         "doc_id", normalized_tokens("text").alias("toks")
-    ).filter(F.size("toks") > 0), "doc_id")
+    ).filter(F.size("toks") > 0)
     nspan = F.ceil(F.size("toks") / span_tokens).cast("int")
     spans = toks.select(
         "doc_id",

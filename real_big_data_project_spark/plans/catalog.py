@@ -59,64 +59,65 @@ def register(name: str, oracle: str | None, description: str = "",
 # compute_prefix(_PINNED) from the live CORRECTNESS_r*.json set and fails
 # the suite if this block is stale (VERDICT r8 item 1: round 8 silently
 # re-proved the identical r7 sample; a hand-maintained prefix cannot be
-# trusted to rotate).  Round-11 prefix: _PINNED is empty (no new or
-# output-changed queries yet this round — re-pin via gen_rotation argv if
-# any land); the 28 remaining r06-vintage rows lead (scan family, OHLCV,
-# bollinger, tick compression, TPC-H pricing-summary kin), then r08-vintage
-# fill — after this gate no catalog query's latest green row predates r08.
-_ROTATION_VINTAGE = 10
+# trusted to rotate).  Round-12 prefix: _PINNED is empty (round 12 is an
+# optimization round — no new queries, no output changes; every touched
+# query was re-proven bit-equal against its oracle this round); the
+# staleness-first fill leads with the r08-vintage rows (dedup/streaming/
+# scan families), then r09 — after this gate no catalog query's latest
+# green row predates r08.
+_ROTATION_VINTAGE = 11
 _PINNED: tuple[str, ...] = ()
 _RISKIEST: tuple[str, ...] = (
-    "q_intersect_except",  # last green r06
-    "q_interval_join",  # last green r06
-    "q_isin_resolve",  # last green r06
-    "q_join_distinct_orderby",  # last green r06
-    "q_json_extract",  # last green r06
-    "q_lag_pct_change",  # last green r06
-    "q_minmax_range",  # last green r06
-    "q_null_profile",  # last green r06
-    "q_ohlcv_daily",  # last green r06
-    "q_partition_prune",  # last green r06
-    "q_prefix_normalize",  # last green r06
-    "q_pricing_summary",  # last green r06
-    "q_project_rename",  # last green r06
-    "q_range_window",  # last green r06
-    "q_regex_clean",  # last green r06
-    "q_regional_volume",  # last green r06
-    "q_rolling_bollinger",  # last green r06
-    "q_rollup",  # last green r06
-    "q_rowwise_stats",  # last green r06
-    "q_scan_csv",  # last green r06
-    "q_scan_parquet",  # last green r06
-    "q_scan_pickle",  # last green r06
-    "q_semi_join_orphans",  # last green r06
-    "q_surrogate_keys",  # last green r06
-    "q_tick_compression",  # last green r06
-    "q_token_budget_select",  # last green r06
-    "q_topk",  # last green r06
-    "q_topk_per_group",  # last green r06
-    "q_ann_bucket",  # last green r08
-    "q_ann_ivf",  # last green r08
-    "q_ann_recall",  # last green r08
-    "q_ann_recall_ivf",  # last green r08
-    "q_ann_recall_sq8",  # last green r08
-    "q_ann_topk",  # last green r08
-    "q_approx_distinct",  # last green r08
-    "q_catalog_tables",  # last green r08
-    "q_corpus_select",  # last green r08
-    "q_corpus_shard",  # last green r08
-    "q_corpus_shuffle",  # last green r08
-    "q_corr_stats",  # last green r08
-    "q_cube",  # last green r08
-    "q_daily_stats_table",  # last green r08
-    "q_datapipe_e2e",  # last green r08
-    "q_decontaminate",  # last green r08
-    "q_dedup_canonical",  # last green r08
-    "q_dedup_components",  # last green r08
-    "q_dedup_components_incremental",  # last green r08
-    "q_dedup_embedding",  # last green r08
-    "q_dedup_incremental",  # last green r08
-    "q_dedup_minhash_lsh",  # last green r08
+    "q_dedup_ngram_jaccard",  # last green r08
+    "q_dedup_recall",  # last green r08
+    "q_dedup_simhash",  # last green r08
+    "q_doc_fingerprint",  # last green r08
+    "q_dq_expectations",  # last green r08
+    "q_ewma_daily",  # last green r08
+    "q_filter_funnel",  # last green r08
+    "q_gapfill_locf",  # last green r08
+    "q_incremental_ohlcv",  # last green r08
+    "q_kmeans",  # last green r08
+    "q_knn_graph",  # last green r08
+    "q_ntile_deciles",  # last green r08
+    "q_pagerank",  # last green r08
+    "q_pii_scrub",  # last green r08
+    "q_pipeline_e2e",  # last green r08
+    "q_scan_excel",  # last green r08
+    "q_scan_jdbc",  # last green r08
+    "q_semantic_dedup",  # last green r08
+    "q_simjoin_prefix",  # last green r08
+    "q_stream_stream_join",  # last green r08
+    "q_streaming_dedup",  # last green r08
+    "q_streaming_enrich",  # last green r08
+    "q_streaming_ohlcv",  # last green r08
+    "q_streaming_sessions",  # last green r08
+    "q_tags_resolve",  # last green r08
+    "q_train_test_split",  # last green r08
+    "q_trend_slope_sql",  # last green r08
+    "q_union_all",  # last green r08
+    "q_bigram_lm",  # last green r09
+    "q_bm25",  # last green r09
+    "q_bpe_train",  # last green r09
+    "q_containment",  # last green r09
+    "q_corpus_report",  # last green r09
+    "q_data_mixture",  # last green r09
+    "q_datapipe_e2e_v2",  # last green r09
+    "q_dedup_exact",  # last green r09
+    "q_doc_chunking",  # last green r09
+    "q_embedding_pool",  # last green r09
+    "q_grouping_sets",  # last green r09
+    "q_having_large_orders",  # last green r09
+    "q_heavy_hitters",  # last green r09
+    "q_idle_rich_customers",  # last green r09
+    "q_importance_resample",  # last green r09
+    "q_label_propagation",  # last green r09
+    "q_linreg_train",  # last green r09
+    "q_median_mode",  # last green r09
+    "q_merge_upsert",  # last green r09
+    "q_min_price_supplier",  # last green r09
+    "q_percentiles",  # last green r09
+    "q_perplexity_buckets",  # last green r09
 )
 
 
